@@ -1,0 +1,21 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via
+``--xla_force_host_platform_device_count`` (SURVEY.md section 4d).  The
+environment pre-registers a remote TPU backend and pins JAX_PLATFORMS to it,
+so the env var alone is not enough — ``jax.config.update`` overrides the
+platform before any backend is used.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

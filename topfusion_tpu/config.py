@@ -1,0 +1,229 @@
+"""Configuration dataclasses for the whole framework.
+
+The reference hard-codes every parameter across three tiers
+(reference: tfusion/src/topfu.cpp:12-53 ``TopFuParams::default_params``,
+tfusion/src/topfu.cpp:50 ``SceneParams``, and the compile-time ``SDF_*``
+capacity macros at tfusion/include/tfusion/cuda/VoxelBlockHash.hpp:10-27).
+Here everything is one tree of frozen dataclasses: a config is hashable and
+can be closed over by ``jax.jit`` as a static argument; capacities become
+runtime config that fixes static array shapes per compile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera intrinsics at pyramid level 0.
+
+    Mirrors ``Intr`` (reference: tfusion/include/tfusion/types.hpp:20-27)
+    including the per-level scaling convention ``f / 2**level``
+    (reference: tfusion/src/precomp.cpp:10-14).
+    """
+
+    width: int = 640
+    height: int = 480
+    # Live values from TopFuParams::default_params (reference: topfu.cpp:47).
+    fx: float = 504.261
+    fy: float = 503.905
+    cx: float = 352.457
+    cy: float = 272.202
+
+    def at_level(self, level: int) -> "CameraConfig":
+        div = 1 << level
+        return dataclasses.replace(
+            self,
+            width=self.width // div,
+            height=self.height // div,
+            fx=self.fx / div,
+            fy=self.fy / div,
+            cx=self.cx / div,
+            cy=self.cy / div,
+        )
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocConfig:
+    """Depth preprocessing (reference: tfusion/src/cuda/imgproc.cu).
+
+    Defaults mirror TopFuParams::default_params
+    (reference: tfusion/src/topfu.cpp:28-35).
+    """
+
+    bilateral_kernel_size: int = 7
+    bilateral_sigma_spatial: float = 4.5       # pixels
+    bilateral_sigma_depth: float = 0.04        # meters
+    depth_truncation: float = 2.0              # meters; >this -> invalid
+    pyramid_levels: int = 3
+    # Pyramid downsample rejects neighbours farther than 3*sigma_depth from
+    # the centre (reference: imgproc.cu:118-131).
+    pyramid_sigma_depth: float = 0.04
+    # Max sensor range treated as valid by computeDists
+    # (reference: imgproc.cu:277 — >=2047 mm -> invalid).
+    max_sensor_depth: float = 2.046
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Projective point-to-plane ICP
+    (reference: tfusion/src/projective_icp.cpp, tfusion/src/cuda/proj_icp.cu).
+    """
+
+    # Coarse-to-fine iterations, entry L = iters at pyramid level L
+    # (reference: topfu.cpp:14 {10, 5, 4, 0}).
+    iters: Tuple[int, ...] = (10, 5, 4)
+    dist_threshold: float = 0.1                # meters (reference: topfu.cpp:32)
+    angle_threshold_deg: float = 30.0          # degrees (reference: topfu.cpp:31)
+    # Levenberg damping added to JtJ diagonal; the reference solves the raw
+    # system with SVD instead (reference: projective_icp.cpp:205) — damping is
+    # the jit-friendly way to survive near-singular systems in-graph.
+    damping: float = 1e-6
+    # Declare tracking failed when the determinant of JtJ falls below this
+    # (reference fails on singular/NaN systems, projective_icp.cpp:197-203).
+    min_det: float = 1e-14
+    # Minimum number of gated correspondences for a valid solve.
+    min_corresp: int = 30
+
+    @property
+    def angle_threshold_cos(self) -> float:
+        return math.cos(math.radians(self.angle_threshold_deg))
+
+
+@dataclasses.dataclass(frozen=True)
+class TSDFConfig:
+    """TSDF volume semantics (reference: SceneParams, tfusion/src/topfu.cpp:50).
+
+    Fusion rule: running weighted average with weight clamp, one-sided
+    truncation (skip eta < -mu)
+    (reference: tfusion/include/tfusion/cuda/SceneReconstructionEngine.hpp:23-71).
+    """
+
+    voxel_size: float = 0.005                  # meters
+    trunc_dist: float = 0.02                   # mu, meters
+    max_weight: float = 100.0
+    stop_integrating_at_max_weight: bool = False
+    view_frustum_min: float = 0.2              # meters
+    view_frustum_max: float = 3.0              # meters
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseVolumeConfig:
+    """Fixed dense grid (BASELINE.md config 1; resurrects the reference's
+    legacy kinfu dense path, reference: tfusion/src/internal.hpp:31-51)."""
+
+    dims: Tuple[int, int, int] = (256, 256, 256)
+    # World-space position of voxel (0,0,0) corner, meters.
+    origin: Tuple[float, float, float] = (-0.64, -0.64, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockMapConfig:
+    """Block-sparse voxel map capacities.
+
+    The reference's voxel block hash (8^3 blocks, 2^20 ordered buckets +
+    2^17 excess entries, 2^16 allocatable blocks; reference:
+    tfusion/include/tfusion/cuda/VoxelBlockHash.hpp:10-27) is re-designed
+    as a sorted key table + slot indirection (see ops/blockmap.py); the
+    only capacities that remain are the pool size and per-frame bounds.
+    """
+
+    block_size: int = 8                        # voxels per side (SDF_BLOCK_SIZE)
+    capacity: int = 1 << 16                    # max live blocks (SDF_LOCAL_BLOCK_NUM)
+    max_new_blocks_per_frame: int = 4096       # bound on per-frame allocation
+    max_visible_blocks: int = 1 << 14          # bound on per-frame visible set
+    # Packed signed block coordinates use this many bits per axis (coords in
+    # [-2**(bits-1), 2**(bits-1))); 10 bits -> +-512 blocks = +-20.5 m at 5 mm.
+    coord_bits: int = 10
+    # Allocation DDA sampling: pixel stride and fixed step count over the
+    # depth+-mu segment (reference marches ceil(2|p1-p0|) steps,
+    # SceneReconstructionEngine.hpp:237-241; we use a fixed masked count).
+    alloc_pixel_stride: int = 2
+    alloc_steps: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class RaycastConfig:
+    """Raycaster (reference: VisualisationEngine_Shared.hpp:99-172 castRay)."""
+
+    max_steps: int = 192                       # bound on sphere-march iterations
+    # Expected-depth min/max image subsample factor
+    # (reference: VisualisationEngine_Shared.hpp:7 minmaximg_subsample = 8).
+    range_subsample: int = 8
+    # Step length multipliers in voxel units (reference: topfu.cpp:41-44
+    # raycast_step_factor; castRay steps max(sdf*mu/voxel, 1)).
+    min_step_voxels: float = 1.0
+    refine_steps: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Keyframe pose graph + loop closure (new capability; absent in the
+    reference — SURVEY.md section 2.2)."""
+
+    max_keyframes: int = 256
+    max_edges: int = 1024
+    keyframe_every: int = 10                   # frames
+    # Keyframe descriptor = downsampled vertex map level used for loop checks.
+    keyframe_level: int = 2
+    loop_candidate_window: int = 5             # recent kfs excluded from loops
+    loop_max_dist: float = 0.5                 # meters between kf positions
+    gn_iters: int = 10
+    damping: float = 1e-5
+    huber_delta: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for multi-chip execution (new capability)."""
+
+    # Axis names: "map" shards the voxel map / volume, "px" shards image rows.
+    map_axis: int = 1
+    px_axis: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level pipeline config (reference: TopFuParams, topfu.hpp:28-60)."""
+
+    camera: CameraConfig = CameraConfig()
+    preproc: PreprocConfig = PreprocConfig()
+    icp: ICPConfig = ICPConfig()
+    tsdf: TSDFConfig = TSDFConfig()
+    dense: DenseVolumeConfig = DenseVolumeConfig()
+    blockmap: BlockMapConfig = BlockMapConfig()
+    raycast: RaycastConfig = RaycastConfig()
+    posegraph: PoseGraphConfig = PoseGraphConfig()
+    mesh: MeshConfig = MeshConfig()
+    # Reset map + trajectory when ICP diverges (reference: topfu.cpp:263-264).
+    reset_on_failure: bool = True
+    compute_dtype: str = "float32"
+
+
+def default_config() -> PipelineConfig:
+    return PipelineConfig()
+
+
+def tiny_test_config() -> PipelineConfig:
+    """Small shapes for fast CPU tests."""
+    cam = CameraConfig(width=80, height=64, fx=60.0, fy=60.0, cx=40.0, cy=32.0)
+    return PipelineConfig(
+        camera=cam,
+        icp=ICPConfig(iters=(4, 3, 2)),
+        dense=DenseVolumeConfig(dims=(64, 64, 64), origin=(-0.32, -0.32, 0.3)),
+        tsdf=TSDFConfig(voxel_size=0.01, trunc_dist=0.04),
+        blockmap=BlockMapConfig(
+            capacity=1 << 12,
+            max_new_blocks_per_frame=1024,
+            max_visible_blocks=1 << 11,
+            alloc_pixel_stride=1,
+        ),
+        raycast=RaycastConfig(max_steps=96),
+    )

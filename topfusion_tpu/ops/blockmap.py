@@ -1,0 +1,280 @@
+"""Block-sparse voxel map: a TPU-native re-design of the voxel block hash.
+
+The reference uses an open-addressing hash with bucket+excess-list pointer
+chasing, atomic free-list pops and last-writer-wins allocation races
+(reference: tfusion/include/tfusion/cuda/VoxelBlockHash.hpp:10-122,
+tfusion/src/cuda/SceneReconstructionEngine_host.cu:350-415,
+tfusion/include/tfusion/cuda/RepresentationAccess.hpp:19-119).  None of that
+maps to XLA dataflow.  This design keeps the same capability surface with
+three dense arrays and only sort/scan/gather/scatter primitives:
+
+  * ``bucket_keys / bucket_slots [NUM_BUCKETS, WAYS]`` — a W-way bucketed
+    hash table.  A lookup is ONE vectorized gather of W keys + compare —
+    no chains, no per-thread cache, fully batched over every query in a
+    frame.  The spatial hash is the same Teschner-style 3-prime XOR the
+    reference uses (reference: RepresentationAccess.hpp:5-7).
+  * ``tsdf / weight [CAPACITY, B, B, B]`` — slot-indexed voxel pool.
+    Slots are assigned monotonically; data never moves on insert.
+  * Allocation is deterministic: candidate keys -> sort -> unique mask ->
+    membership probe -> rank by prefix-sum -> scatter into buckets.  Two
+    candidates hashing to a full bucket DROP deterministically and get
+    allocated on a later frame — the same graceful degradation as the
+    reference's silent allocation race (SURVEY.md section 3.4), but
+    reproducible bit-for-bit.
+
+Shapes are static everywhere; occupancy lives in ``num_blocks``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from topfusion_tpu.config import BlockMapConfig
+
+EMPTY_KEY = jnp.iinfo(jnp.int32).max  # sentinel: unoccupied / invalid
+
+
+class BlockMap(NamedTuple):
+    bucket_keys: jnp.ndarray    # [NB, W] int32 packed keys, EMPTY_KEY = free
+    bucket_slots: jnp.ndarray   # [NB, W] int32 pool slot per key
+    block_coords: jnp.ndarray   # [C, 3] int32 unpacked coords per slot
+    tsdf: jnp.ndarray           # [C, B, B, B] float32
+    weight: jnp.ndarray         # [C, B, B, B] float32
+    num_blocks: jnp.ndarray     # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.tsdf.shape[0]
+
+    @property
+    def block_size(self) -> int:
+        return self.tsdf.shape[1]
+
+
+# ----------------------------------------------------------------- keys
+def pack_key(coords: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Signed block coords (..., 3) -> packed non-negative int32 key."""
+    off = 1 << (bits - 1)
+    c = coords + off
+    return (c[..., 0] << (2 * bits)) | (c[..., 1] << bits) | c[..., 2]
+
+
+def unpack_key(key: jnp.ndarray, bits: int) -> jnp.ndarray:
+    off = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    x = (key >> (2 * bits)) & mask
+    y = (key >> bits) & mask
+    z = key & mask
+    return jnp.stack([x - off, y - off, z - off], axis=-1)
+
+
+def in_coord_range(coords: jnp.ndarray, bits: int) -> jnp.ndarray:
+    lim = 1 << (bits - 1)
+    return jnp.all((coords >= -lim) & (coords < lim), axis=-1)
+
+
+def spatial_hash(coords: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
+    """Teschner 3-prime XOR hash (reference: RepresentationAccess.hpp:5-7);
+    num_buckets must be a power of two."""
+    h = (
+        (coords[..., 0] * 73856093)
+        ^ (coords[..., 1] * 19349669)
+        ^ (coords[..., 2] * 83492791)
+    )
+    return (h & (num_buckets - 1)).astype(jnp.int32)
+
+
+# ----------------------------------------------------------------- ctor
+def make_block_map(
+    cfg: BlockMapConfig, ways: int = 4, dtype=jnp.float32
+) -> BlockMap:
+    nb = cfg.capacity  # buckets == capacity with W ways -> load factor <= 1/W
+    b = cfg.block_size
+    return BlockMap(
+        bucket_keys=jnp.full((nb, ways), EMPTY_KEY, jnp.int32),
+        bucket_slots=jnp.zeros((nb, ways), jnp.int32),
+        block_coords=jnp.zeros((cfg.capacity, 3), jnp.int32),
+        tsdf=jnp.ones((cfg.capacity, b, b, b), dtype),
+        weight=jnp.zeros((cfg.capacity, b, b, b), dtype),
+        num_blocks=jnp.asarray(0, jnp.int32),
+    )
+
+
+def reset_block_map(m: BlockMap) -> BlockMap:
+    """ResetScene equivalent (reference: SceneReconstructionEngine_host.cu:51-73)."""
+    return BlockMap(
+        bucket_keys=jnp.full_like(m.bucket_keys, EMPTY_KEY),
+        bucket_slots=jnp.zeros_like(m.bucket_slots),
+        block_coords=jnp.zeros_like(m.block_coords),
+        tsdf=jnp.ones_like(m.tsdf),
+        weight=jnp.zeros_like(m.weight),
+        num_blocks=jnp.zeros_like(m.num_blocks),
+    )
+
+
+# ----------------------------------------------------------------- lookup
+def lookup(
+    m: BlockMap, coords: jnp.ndarray, bits: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched block lookup: coords (..., 3) -> (slot (...,), found (...,)).
+
+    One gather of the W-way bucket + a vector compare; replaces the
+    reference's bucket probe + excess-chain walk
+    (reference: RepresentationAccess.hpp:67-100).
+    """
+    key = pack_key(coords, bits)
+    b = spatial_hash(coords, m.bucket_keys.shape[0])
+    ways_keys = m.bucket_keys[b]            # (..., W)
+    ways_slots = m.bucket_slots[b]          # (..., W)
+    match = ways_keys == key[..., None]
+    found = jnp.any(match, axis=-1) & in_coord_range(coords, bits)
+    slot = jnp.sum(jnp.where(match, ways_slots, 0), axis=-1)
+    return jnp.where(found, slot, -1), found
+
+
+# ----------------------------------------------------------------- alloc
+def allocate(
+    m: BlockMap,
+    cand_coords: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    cfg: BlockMapConfig,
+) -> Tuple[BlockMap, jnp.ndarray]:
+    """Deterministically insert new blocks for candidate coords [N, 3].
+
+    Replaces atomic free-list allocation
+    (reference: SceneReconstructionEngine_host.cu:350-415) with
+    sort -> unique -> probe -> prefix-sum rank -> scatter.  Bounded by
+    ``cfg.max_new_blocks_per_frame`` and pool capacity.  Returns the new
+    map and the number of blocks actually inserted.
+    """
+    bits = cfg.coord_bits
+    n_max = cfg.max_new_blocks_per_frame
+    ways = m.bucket_keys.shape[1]
+    nb = m.bucket_keys.shape[0]
+
+    cand_valid = cand_valid & in_coord_range(cand_coords, bits)
+    keys = jnp.where(cand_valid, pack_key(cand_coords, bits), EMPTY_KEY)
+
+    # Sort: duplicates adjacent, invalids at the end.
+    keys_sorted = jnp.sort(keys)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_sorted[1:] != keys_sorted[:-1]]
+    )
+    uniq = first & (keys_sorted != EMPTY_KEY)
+
+    # Membership probe against the existing table.
+    coords_sorted = unpack_key(keys_sorted, bits)
+    _, exists = lookup(m, coords_sorted, bits)
+    is_new = uniq & ~exists
+
+    # Rank new keys; cap by per-frame bound and remaining capacity.
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    room = jnp.minimum(n_max, m.capacity - m.num_blocks)
+    keep = is_new & (rank < room)
+    n_inserted_want = jnp.sum(keep.astype(jnp.int32))
+
+    # Compact kept keys into [n_max] via scatter-by-rank.
+    new_keys = jnp.full((n_max,), EMPTY_KEY, jnp.int32)
+    scatter_idx = jnp.where(keep, rank, n_max)  # dropped -> OOB (ignored)
+    new_keys = new_keys.at[scatter_idx].set(
+        jnp.where(keep, keys_sorted, EMPTY_KEY), mode="drop"
+    )
+    new_valid = new_keys != EMPTY_KEY
+    new_coords = unpack_key(new_keys, bits)
+
+    # Way assignment: occupancy count of each bucket + rank of this key
+    # among batch keys sharing the bucket.  new_keys are sorted and unique;
+    # same-bucket keys are adjacent only by coincidence, so compute the
+    # within-batch bucket rank by comparing against all previous keys'
+    # buckets (n_max is small: O(n_max^2) compare is a [4096, 4096] bool
+    # matmul-shaped op, cheap on TPU).
+    bucket = jnp.where(new_valid, spatial_hash(new_coords, nb), nb)  # OOB for pad
+    prev_same = (bucket[None, :] == bucket[:, None]) & (
+        jnp.arange(n_max)[None, :] < jnp.arange(n_max)[:, None]
+    )
+    batch_rank = jnp.sum(prev_same, axis=1).astype(jnp.int32)
+    occ = jnp.sum(m.bucket_keys != EMPTY_KEY, axis=1).astype(jnp.int32)
+    way = jnp.where(new_valid, occ[jnp.clip(bucket, 0, nb - 1)] + batch_rank, ways)
+    fits = new_valid & (way < ways)
+
+    # Re-rank after dropping bucket-overflow keys so slots stay contiguous.
+    slot_rank = jnp.cumsum(fits.astype(jnp.int32)) - 1
+    slot = m.num_blocks + slot_rank
+    n_inserted = jnp.sum(fits.astype(jnp.int32))
+
+    flat_idx = jnp.where(fits, bucket * ways + way, nb * ways)  # OOB drop
+    bucket_keys = m.bucket_keys.reshape(-1).at[flat_idx].set(
+        jnp.where(fits, new_keys, EMPTY_KEY), mode="drop"
+    ).reshape(nb, ways)
+    bucket_slots = m.bucket_slots.reshape(-1).at[flat_idx].set(
+        jnp.where(fits, slot, 0), mode="drop"
+    ).reshape(nb, ways)
+    block_coords = m.block_coords.at[jnp.where(fits, slot, m.capacity)].set(
+        new_coords, mode="drop"
+    )
+
+    return (
+        BlockMap(
+            bucket_keys=bucket_keys,
+            bucket_slots=bucket_slots,
+            block_coords=block_coords,
+            tsdf=m.tsdf,
+            weight=m.weight,
+            num_blocks=m.num_blocks + n_inserted,
+        ),
+        n_inserted,
+    )
+
+
+# ----------------------------------------------------------------- voxel reads
+def read_voxels_nearest(
+    m: BlockMap, voxel_coords: jnp.ndarray, bits: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Global integer voxel coords (..., 3) -> (tsdf, weight, block_found).
+
+    Unallocated space reads as free (tsdf=1, w=0) — matching
+    readFromSDF_float_uninterpolated's miss semantics
+    (reference: RepresentationAccess.hpp:122-135).
+    """
+    bsz = m.block_size
+    block = jnp.floor_divide(voxel_coords, bsz)
+    local = voxel_coords - block * bsz
+    slot, found = lookup(m, block, bits)
+    sl = jnp.where(found, slot, 0)
+    t = m.tsdf[sl, local[..., 0], local[..., 1], local[..., 2]]
+    w = m.weight[sl, local[..., 0], local[..., 1], local[..., 2]]
+    return (
+        jnp.where(found, t, 1.0),
+        jnp.where(found, w, 0.0),
+        found,
+    )
+
+
+def sample_trilinear(
+    m: BlockMap, pv: jnp.ndarray, bits: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trilinear (tsdf, min-weight) at fractional global voxel coords
+    (reference: RepresentationAccess.hpp:137-162, crossing block borders
+    transparently via per-corner lookup)."""
+    p = pv - 0.5
+    base = jnp.floor(p).astype(jnp.int32)
+    frac = p - base
+    tsdf = jnp.zeros(pv.shape[:-1], m.tsdf.dtype)
+    wmin = jnp.full(pv.shape[:-1], jnp.inf, m.weight.dtype)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                corner = base + jnp.asarray([cx, cy, cz])
+                t, w, _ = read_voxels_nearest(m, corner, bits)
+                wgt = (
+                    (frac[..., 0] if cx else 1.0 - frac[..., 0])
+                    * (frac[..., 1] if cy else 1.0 - frac[..., 1])
+                    * (frac[..., 2] if cz else 1.0 - frac[..., 2])
+                )
+                tsdf = tsdf + wgt * t
+                wmin = jnp.minimum(wmin, w)
+    return tsdf, wmin
