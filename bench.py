@@ -1,0 +1,90 @@
+"""Benchmark: fused depth frames/s on the flagship fusion pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol (BASELINE.md): the reference publishes no numbers; its design
+operating point is a 640x480 depth sensor at 30 fps
+(reference: tfusion/src/capture.cpp:67-70).  vs_baseline is therefore
+fused frames/s divided by 30 — the factor by which we outpace the
+real-time sensor rate the reference was built to keep up with.
+
+All depth frames are pre-rendered to device memory before timing; the
+timed region is exclusively jitted fusion steps (preprocess -> ICP ->
+integrate -> raycast) chained on device, with one final sync.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from topfusion_tpu.config import (
+        CameraConfig,
+        DenseVolumeConfig,
+        ICPConfig,
+        PipelineConfig,
+        PreprocConfig,
+        RaycastConfig,
+        TSDFConfig,
+    )
+    from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
+    from topfusion_tpu.models.pipeline import DensePipeline
+
+    cam = CameraConfig()  # 640x480, reference intrinsics
+    cfg = PipelineConfig(
+        camera=cam,
+        icp=ICPConfig(iters=(10, 5, 4)),
+        dense=DenseVolumeConfig(dims=(256, 256, 256), origin=(-0.64, -0.64, 0.3)),
+        tsdf=TSDFConfig(voxel_size=0.005, trunc_dist=0.02),
+        raycast=RaycastConfig(max_steps=192),
+    )
+
+    scene = SyntheticScene()
+    poses = orbit_trajectory(8, max_angle_deg=3.0, max_shift=0.03, seed=1)
+    frames = [
+        scene.render_depth_mm(cam, jnp.asarray(T, jnp.float32)) for T in poses
+    ]
+    frames = jax.block_until_ready(frames)
+
+    pipe = DensePipeline(cfg)
+    state = pipe.init()
+
+    # Warmup: compile + bootstrap the model maps.
+    state, _ = pipe.step(state, frames[0])
+    state, _ = pipe.step(state, frames[1])
+    jax.block_until_ready(state.tsdf)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    n_steps = 0
+    for _ in range(n_iters):
+        for f in frames:
+            state, _ = pipe.step(state, f)
+            n_steps += 1
+    jax.block_until_ready(state.tsdf)
+    dt = time.perf_counter() - t0
+
+    fps = n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fused_depth_frames_per_s_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,7 @@ from topfusion_tpu.config import (
     PoseGraphConfig,
 )
 from topfusion_tpu.models.pipeline import DensePipeline
+from topfusion_tpu.models.block_pipeline import BlockPipeline
 
 __version__ = "0.1.0"
 
@@ -44,4 +45,5 @@ __all__ = [
     "PipelineConfig",
     "PoseGraphConfig",
     "DensePipeline",
+    "BlockPipeline",
 ]

@@ -1,0 +1,173 @@
+"""Block-sparse fusion pipeline: voxel-hashed map, one jitted step per frame.
+
+Same per-frame structure as models/pipeline.py (the reference's
+TopFu::operator(), tfusion/src/topfu.cpp:161-330), with the InfiniTAM-side
+backend: on-demand block allocation, visible-set maintenance,
+gather/fuse/scatter integration and block-skipping raycast
+(BASELINE.md config 2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from topfusion_tpu.config import PipelineConfig
+from topfusion_tpu.ops.depth import preprocess_depth
+from topfusion_tpu.ops.normals import build_maps_pyramid, resize_points_normals
+from topfusion_tpu.ops.icp import icp_track
+from topfusion_tpu.ops.rendering import phong_shade
+from topfusion_tpu.ops.blockmap import BlockMap, make_block_map, reset_block_map
+from topfusion_tpu.ops.tsdf_block import (
+    allocate_from_depth,
+    visible_blocks,
+    integrate_blocks,
+    raycast_blocks,
+)
+
+
+class BlockState(NamedTuple):
+    bucket_keys: jnp.ndarray
+    bucket_slots: jnp.ndarray
+    block_coords: jnp.ndarray
+    tsdf: jnp.ndarray
+    weight: jnp.ndarray
+    num_blocks: jnp.ndarray
+    T_wc: jnp.ndarray
+    model_points: Tuple[jnp.ndarray, ...]
+    model_normals: Tuple[jnp.ndarray, ...]
+    frame: jnp.ndarray
+    resets: jnp.ndarray
+
+    def block_map(self) -> BlockMap:
+        return BlockMap(
+            bucket_keys=self.bucket_keys,
+            bucket_slots=self.bucket_slots,
+            block_coords=self.block_coords,
+            tsdf=self.tsdf,
+            weight=self.weight,
+            num_blocks=self.num_blocks,
+        )
+
+
+class BlockStepAux(NamedTuple):
+    ok: jnp.ndarray
+    residual: jnp.ndarray
+    num_inliers: jnp.ndarray
+    was_reset: jnp.ndarray
+    num_blocks: jnp.ndarray
+    blocks_allocated: jnp.ndarray
+    num_visible: jnp.ndarray
+
+
+class BlockPipeline:
+    """Stateless functional block-sparse pipeline (see DensePipeline)."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.step = jax.jit(self._step)
+
+    def init(self) -> BlockState:
+        cfg = self.cfg
+        m = make_block_map(cfg.blockmap)
+        cam = cfg.camera
+        mp, mn = [], []
+        for level in range(cfg.preproc.pyramid_levels):
+            cl = cam.at_level(level)
+            mp.append(jnp.zeros((cl.height, cl.width, 3), jnp.float32))
+            mn.append(jnp.zeros((cl.height, cl.width, 3), jnp.float32))
+        return BlockState(
+            *m,
+            T_wc=jnp.eye(4, dtype=jnp.float32),
+            model_points=tuple(mp),
+            model_normals=tuple(mn),
+            frame=jnp.asarray(0, jnp.int32),
+            resets=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _step(
+        self, state: BlockState, depth_mm: jnp.ndarray
+    ) -> Tuple[BlockState, BlockStepAux]:
+        cfg = self.cfg
+        cam = cfg.camera
+
+        raw_m, depth_pyr = preprocess_depth(depth_mm, cfg.preproc)
+        cur_pts, cur_nrm = build_maps_pyramid(cam, depth_pyr)
+
+        is_first = state.frame == 0
+        icp = icp_track(
+            cam,
+            cfg.icp,
+            state.T_wc,
+            state.T_wc,
+            cur_pts,
+            cur_nrm,
+            list(state.model_points),
+            list(state.model_normals),
+        )
+        ok = icp.ok | is_first
+        T_new = jnp.where(is_first, state.T_wc, icp.T_wc)
+
+        do_reset = (~ok) & bool(cfg.reset_on_failure)
+        T_int = jnp.where(do_reset, jnp.eye(4, dtype=jnp.float32), T_new)
+        m = state.block_map()
+        m_clean = reset_block_map(m)
+        m = jax.tree.map(lambda a, b: jnp.where(do_reset, b, a), m, m_clean)
+
+        # Discard the failed frame (reference: topfu.cpp:263-264 returns
+        # after reset); an all-invalid depth allocates and fuses nothing.
+        raw_eff = jnp.where(do_reset, 0.0, raw_m)
+
+        # Allocation + visible set + integration
+        # (reference: topfu.cpp:281-282).
+        m, n_alloc = allocate_from_depth(
+            m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff
+        )
+        vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
+        m, n_vis = integrate_blocks(
+            m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
+        )
+
+        # Raycast model maps for the next frame
+        # (reference: topfu.cpp:306-309).
+        rc = raycast_blocks(m, cam, cfg.tsdf, cfg.blockmap, cfg.raycast, T_int)
+        mp = [rc.points]
+        mn = [rc.normals]
+        for _ in range(cfg.preproc.pyramid_levels - 1):
+            p, n = resize_points_normals(mp[-1], mn[-1])
+            mp.append(p)
+            mn.append(n)
+
+        new_state = BlockState(
+            *m,
+            T_wc=T_int,
+            model_points=tuple(mp),
+            model_normals=tuple(mn),
+            frame=jnp.where(do_reset, 0, state.frame + 1),
+            resets=state.resets + do_reset.astype(jnp.int32),
+        )
+        aux = BlockStepAux(
+            ok=ok,
+            residual=icp.residual,
+            num_inliers=icp.num_inliers,
+            was_reset=do_reset,
+            num_blocks=m.num_blocks,
+            blocks_allocated=n_alloc,
+            num_visible=n_vis,
+        )
+        return new_state, aux
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def render(self, state: BlockState) -> jnp.ndarray:
+        cfg = self.cfg
+        rc = raycast_blocks(
+            state.block_map(), cfg.camera, cfg.tsdf, cfg.blockmap,
+            cfg.raycast, state.T_wc,
+        )
+        light = state.T_wc[:3, 3] + jnp.asarray([0.0, -1.0, -1.0])
+        return phong_shade(rc.points, rc.normals, light, state.T_wc[:3, 3])

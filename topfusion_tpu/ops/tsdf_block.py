@@ -1,0 +1,307 @@
+"""Block-sparse TSDF: on-demand allocation, visible-set maintenance,
+gather/fuse/scatter integration, block-skipping raycast.
+
+Re-designs the InfiniTAM-side engines
+(reference: tfusion/src/cuda/SceneReconstructionEngine_host.cu,
+tfusion/src/cuda/VisualisationEngine_CUDA.cu) on top of the bucketed
+block map in ops/blockmap.py.  The fusion rule and gating semantics are
+identical to the dense path (ops/tsdf_dense.py); only the indexing
+differs:
+
+  * allocation: per-pixel DDA over the depth+-mu segment emits candidate
+    block coords (reference: SceneReconstructionEngine.hpp:206-298),
+    deduped + inserted deterministically (no atomics, SURVEY.md 7.1);
+  * integration: visible blocks are compacted into a [V, B, B, B] gather,
+    fused in one vectorized pass, scattered back — the gather/fuse/scatter
+    pattern replacing one-CUDA-block-per-visible-block
+    (reference: SceneReconstructionEngine_host.cu:297-329);
+  * raycast: lockstep sphere march that skips a whole block width through
+    unallocated space (reference: castRay's SDF_BLOCK_SIZE skip,
+    VisualisationEngine_Shared.hpp:134-153).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from topfusion_tpu.config import (
+    BlockMapConfig,
+    CameraConfig,
+    RaycastConfig,
+    TSDFConfig,
+)
+from topfusion_tpu.geometry.se3 import se3_inverse, transform_points
+from topfusion_tpu.geometry.camera import project, pixel_grid
+from topfusion_tpu.ops.blockmap import (
+    BlockMap,
+    allocate,
+    lookup,
+    read_voxels_nearest,
+    sample_trilinear,
+)
+from topfusion_tpu.ops.tsdf_dense import RaycastResult
+
+
+# ----------------------------------------------------------------- alloc
+def allocate_from_depth(
+    m: BlockMap,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    bm_cfg: BlockMapConfig,
+    T_wc: jnp.ndarray,
+    depth: jnp.ndarray,
+) -> Tuple[BlockMap, jnp.ndarray]:
+    """Mark-and-insert blocks intersecting the depth+-mu band.
+
+    Vectorized DDA (reference: buildHashAllocAndVisibleTypePP,
+    SceneReconstructionEngine.hpp:206-298): for each (strided) valid
+    pixel, sample ``alloc_steps`` points along the camera ray between
+    ``(1 - mu/|p|)`` and ``(1 + mu/|p|)`` of the backprojected point and
+    emit their block coords as allocation candidates.
+    """
+    stride = bm_cfg.alloc_pixel_stride
+    k = bm_cfg.alloc_steps
+    mu = tsdf_cfg.trunc_dist
+    bsz = bm_cfg.block_size
+    block_metric = bsz * tsdf_cfg.voxel_size
+
+    d = depth[::stride, ::stride]
+    uv = pixel_grid(cam)[::stride, ::stride]
+    valid = (d > 0.0) & (d >= tsdf_cfg.view_frustum_min) & (d <= tsdf_cfg.view_frustum_max)
+
+    # Camera-space point and ray extent.
+    x = (uv[..., 0] - cam.cx) / cam.fx
+    y = (uv[..., 1] - cam.cy) / cam.fy
+    ray = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    norm = jnp.linalg.norm(ray, axis=-1)
+    # Fractions along the ray covering depth +- mu (euclidean).
+    lam0 = d * (1.0 - mu / jnp.maximum(d * norm, 1e-6))
+    lam1 = d * (1.0 + mu / jnp.maximum(d * norm, 1e-6))
+
+    fracs = jnp.linspace(0.0, 1.0, k, dtype=depth.dtype)
+    lam = lam0[..., None] + (lam1 - lam0)[..., None] * fracs  # [h, w, k]
+    pts_cam = ray[..., None, :] * lam[..., None]              # [h, w, k, 3]
+    pts_w = transform_points(T_wc, pts_cam)
+    coords = jnp.floor(pts_w / block_metric).astype(jnp.int32)
+
+    cand = coords.reshape(-1, 3)
+    cand_valid = jnp.broadcast_to(valid[..., None], lam.shape).reshape(-1)
+    return allocate(m, cand, cand_valid, bm_cfg)
+
+
+# ----------------------------------------------------------------- visibility
+def visible_blocks(
+    m: BlockMap,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    bm_cfg: BlockMapConfig,
+    T_wc: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compact the frustum-visible subset of live blocks.
+
+    Conservative block-bounding-sphere test against the frustum
+    (replacing the 8-corner test + warp prefix-sum compaction,
+    reference: checkBlockVisibility SceneReconstructionEngine.hpp:325-375,
+    buildVisibleList_device _host.cu:434-479).  Returns
+    (slots [V_max], coords [V_max, 3], mask [V_max]).
+    """
+    v_max = bm_cfg.max_visible_blocks
+    block_metric = bm_cfg.block_size * tsdf_cfg.voxel_size
+    radius = 0.5 * jnp.sqrt(3.0) * block_metric
+
+    c = m.block_coords.astype(jnp.float32)
+    centers_w = (c + 0.5) * block_metric
+    T_cw = se3_inverse(T_wc)
+    centers_cam = transform_points(T_cw, centers_w)
+    uv, z = project(cam, centers_cam)
+    # Projected radius margin in pixels (guard small z).
+    zs = jnp.maximum(z, tsdf_cfg.view_frustum_min * 0.5)
+    ru = radius / zs * cam.fx
+    rv = radius / zs * cam.fy
+    live = jnp.arange(m.capacity) < m.num_blocks
+    vis = (
+        live
+        & (z > tsdf_cfg.view_frustum_min - radius)
+        & (z < tsdf_cfg.view_frustum_max + radius)
+        & (uv[..., 0] >= -ru)
+        & (uv[..., 0] <= cam.width - 1 + ru)
+        & (uv[..., 1] >= -rv)
+        & (uv[..., 1] <= cam.height - 1 + rv)
+    )
+
+    rank = jnp.cumsum(vis.astype(jnp.int32)) - 1
+    keep = vis & (rank < v_max)
+    idx = jnp.where(keep, rank, v_max)
+    slots = jnp.full((v_max,), -1, jnp.int32).at[idx].set(
+        jnp.arange(m.capacity, dtype=jnp.int32), mode="drop"
+    )
+    mask = slots >= 0
+    coords = m.block_coords[jnp.where(mask, slots, 0)]
+    return slots, coords, mask
+
+
+# ----------------------------------------------------------------- integrate
+def integrate_blocks(
+    m: BlockMap,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    bm_cfg: BlockMapConfig,
+    T_wc: jnp.ndarray,
+    depth: jnp.ndarray,
+    vis: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+) -> Tuple[BlockMap, jnp.ndarray]:
+    """Fuse one depth image into the visible blocks.
+
+    Gather visible blocks -> one fused elementwise pass over
+    [V, B, B, B] voxels (same rule as computeUpdatedVoxelDepthInfo,
+    reference: SceneReconstructionEngine.hpp:23-71) -> scatter back.
+    Returns (map, num_visible).
+    """
+    if vis is None:
+        vis = visible_blocks(m, cam, tsdf_cfg, bm_cfg, T_wc)
+    slots, coords, mask = vis
+    bsz = bm_cfg.block_size
+    mu = tsdf_cfg.trunc_dist
+    voxel = tsdf_cfg.voxel_size
+    h, w = depth.shape
+
+    safe_slots = jnp.where(mask, slots, 0)
+    tsdf_blk = m.tsdf[safe_slots]      # [V, B, B, B]
+    w_blk = m.weight[safe_slots]
+
+    # World position of every voxel centre in the gathered blocks.
+    lx = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 1)
+    ly = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 2)
+    lz = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 3)
+    local = jnp.stack([lx, ly, lz], axis=-1)                      # [1,B,B,B,3]
+    base = coords.astype(jnp.float32)[:, None, None, None, :] * bsz
+    pw = (base + local + 0.5) * voxel
+
+    T_cw = se3_inverse(T_wc)
+    pc = transform_points(T_cw, pw)
+    uv, z = project(cam, pc)
+    u = jnp.round(uv[..., 0]).astype(jnp.int32)
+    v = jnp.round(uv[..., 1]).astype(jnp.int32)
+    in_bounds = (
+        (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        & (z >= tsdf_cfg.view_frustum_min) & (z <= tsdf_cfg.view_frustum_max)
+    )
+    uc = jnp.clip(u, 0, w - 1)
+    vc = jnp.clip(v, 0, h - 1)
+    d = depth[vc, uc]
+
+    eta = d - z
+    update = in_bounds & (d > 0.0) & (eta >= -mu) & mask[:, None, None, None]
+    if tsdf_cfg.stop_integrating_at_max_weight:
+        update = update & (w_blk < tsdf_cfg.max_weight)
+
+    new_f = jnp.maximum(jnp.minimum(1.0, eta / mu), -1.0)
+    fused = (tsdf_blk * w_blk + new_f) / (w_blk + 1.0)
+    w_new = jnp.minimum(w_blk + 1.0, tsdf_cfg.max_weight)
+
+    tsdf_out = jnp.where(update, fused, tsdf_blk)
+    w_out = jnp.where(update, w_new, w_blk)
+
+    scatter_slots = jnp.where(mask, slots, m.capacity)  # OOB -> dropped
+    m = m._replace(
+        tsdf=m.tsdf.at[scatter_slots].set(tsdf_out, mode="drop"),
+        weight=m.weight.at[scatter_slots].set(w_out, mode="drop"),
+    )
+    return m, jnp.sum(mask.astype(jnp.int32))
+
+
+# ----------------------------------------------------------------- raycast
+def raycast_blocks(
+    m: BlockMap,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    bm_cfg: BlockMapConfig,
+    ray_cfg: RaycastConfig,
+    T_wc: jnp.ndarray,
+) -> RaycastResult:
+    """Sphere-trace every pixel through the sparse map.
+
+    Identical lockstep structure to ops/tsdf_dense.raycast_dense, with
+    per-step block lookups: a miss advances a full block width
+    (reference: VisualisationEngine_Shared.hpp:134-153).
+    """
+    h, w = cam.height, cam.width
+    mu = tsdf_cfg.trunc_dist
+    voxel = tsdf_cfg.voxel_size
+    bits = bm_cfg.coord_bits
+    block_metric = bm_cfg.block_size * voxel
+
+    uv = pixel_grid(cam)
+    dirs_cam = jnp.stack(
+        [
+            (uv[..., 0] - cam.cx) / cam.fx,
+            (uv[..., 1] - cam.cy) / cam.fy,
+            jnp.ones((h, w), jnp.float32),
+        ],
+        axis=-1,
+    )
+    R = T_wc[:3, :3]
+    o_w = T_wc[:3, 3]
+    dirs_w = jnp.einsum("ij,hwj->hwi", R, dirs_cam)
+    dir_norm = jnp.linalg.norm(dirs_w, axis=-1)
+
+    t_min = jnp.full((h, w), tsdf_cfg.view_frustum_min, jnp.float32)
+    t_max = jnp.full((h, w), tsdf_cfg.view_frustum_max, jnp.float32)
+    min_step = ray_cfg.min_step_voxels * voxel
+
+    def to_voxel(t):
+        p_w = o_w + t[..., None] * dirs_w
+        return p_w / voxel  # fractional global voxel coords
+
+    def body(_, carry):
+        t, prev_sdf, prev_t, t_hit, alive, found = carry
+        pv = to_voxel(t)
+        vox = jnp.floor(pv).astype(jnp.int32)
+        sdf, _wt, blk_found = read_voxels_nearest(m, vox, bits)
+        crossing = alive & blk_found & (prev_sdf > 0.0) & (sdf <= 0.0)
+        denom = jnp.where(jnp.abs(prev_sdf - sdf) > 1e-12, prev_sdf - sdf, 1.0)
+        t_cross = prev_t + (t - prev_t) * (prev_sdf / denom)
+        t_hit = jnp.where(crossing & ~found, t_cross, t_hit)
+        found = found | crossing
+        # Miss -> skip a block width; hit -> sphere step on the sampled sdf.
+        step = jnp.where(
+            blk_found, jnp.maximum(sdf * mu, min_step), block_metric
+        ) / dir_norm
+        t_next = t + step
+        alive = alive & ~found & (t_next < t_max)
+        # prev_sdf only meaningful inside allocated space; entering a block
+        # from unallocated space starts a fresh sign history.
+        prev_sdf_next = jnp.where(blk_found, sdf, 1.0)
+        return t_next, prev_sdf_next, t, t_hit, alive, found
+
+    init = (
+        t_min,
+        jnp.ones((h, w), jnp.float32),
+        t_min,
+        jnp.zeros((h, w), jnp.float32),
+        jnp.ones((h, w), bool),
+        jnp.zeros((h, w), bool),
+    )
+    _, _, _, t_hit, _, found = lax.fori_loop(0, ray_cfg.max_steps, body, init)
+
+    def refine(_, t):
+        sdf_tri, _ = sample_trilinear(m, to_voxel(t), bits)
+        return t + sdf_tri * mu / dir_norm
+
+    t_hit = lax.fori_loop(0, ray_cfg.refine_steps, refine, t_hit)
+
+    _, w_hit = sample_trilinear(m, to_voxel(t_hit), bits)
+    hit = found & (w_hit > 0.0) & (t_hit > 0.0)
+
+    p_w = o_w + t_hit[..., None] * dirs_w
+    points = jnp.where(hit[..., None], p_w, 0.0)
+
+    from topfusion_tpu.ops.normals import normals_from_point_map
+
+    normals = normals_from_point_map(points, o_w)
+    depth_out = jnp.where(hit, t_hit, 0.0)
+    return RaycastResult(points=points, normals=normals, hit=hit, depth=depth_out)
