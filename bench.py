@@ -16,7 +16,11 @@ integrate -> raycast) chained on device, with one final sync.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_topfusion")
 
 import numpy as np
 
@@ -28,23 +32,25 @@ def main() -> None:
     import jax.numpy as jnp
 
     from topfusion_tpu.config import (
+        BlockMapConfig,
         CameraConfig,
-        DenseVolumeConfig,
         ICPConfig,
         PipelineConfig,
-        PreprocConfig,
         RaycastConfig,
         TSDFConfig,
     )
     from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
-    from topfusion_tpu.models.pipeline import DensePipeline
+    from topfusion_tpu.models.block_pipeline import BlockPipeline
 
+    # Flagship: BASELINE.md config 2 — VGA sensor, voxel-hashed 5 mm TSDF
+    # (2^16 x 8^3 blocks = the reference's full map capacity,
+    # reference: VoxelBlockHash.hpp:10-18).
     cam = CameraConfig()  # 640x480, reference intrinsics
     cfg = PipelineConfig(
         camera=cam,
         icp=ICPConfig(iters=(10, 5, 4)),
-        dense=DenseVolumeConfig(dims=(256, 256, 256), origin=(-0.64, -0.64, 0.3)),
         tsdf=TSDFConfig(voxel_size=0.005, trunc_dist=0.02),
+        blockmap=BlockMapConfig(),
         raycast=RaycastConfig(max_steps=192),
     )
 
@@ -55,13 +61,18 @@ def main() -> None:
     ]
     frames = jax.block_until_ready(frames)
 
-    pipe = DensePipeline(cfg)
+    pipe = BlockPipeline(cfg)
     state = pipe.init()
+
+    def sync(s):
+        # block_until_ready is unreliable over tunneled backends; a tiny
+        # D2H readback is a true completion fence.
+        return np.asarray(s.T_wc[0, 0])
 
     # Warmup: compile + bootstrap the model maps.
     state, _ = pipe.step(state, frames[0])
     state, _ = pipe.step(state, frames[1])
-    jax.block_until_ready(state.tsdf)
+    sync(state)
 
     n_iters = 3
     t0 = time.perf_counter()
@@ -70,7 +81,7 @@ def main() -> None:
         for f in frames:
             state, _ = pipe.step(state, f)
             n_steps += 1
-    jax.block_until_ready(state.tsdf)
+    sync(state)
     dt = time.perf_counter() - t0
 
     fps = n_steps / dt

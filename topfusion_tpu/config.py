@@ -154,6 +154,11 @@ class RaycastConfig:
     """Raycaster (reference: VisualisationEngine_Shared.hpp:99-172 castRay)."""
 
     max_steps: int = 192                       # bound on sphere-march iterations
+    # Depth-guided model-map raycast: march only a band around the depth
+    # image just integrated (the TPU analogue of the reference's
+    # expected-depth ranges; see ops/tsdf_block.raycast_blocks).
+    guided: bool = True
+    guided_max_steps: int = 24
     # Expected-depth min/max image subsample factor
     # (reference: VisualisationEngine_Shared.hpp:7 minmaximg_subsample = 8).
     range_subsample: int = 8
@@ -172,7 +177,12 @@ class PoseGraphConfig:
     max_edges: int = 1024
     keyframe_every: int = 10                   # frames
     # Keyframe descriptor = downsampled vertex map level used for loop checks.
-    keyframe_level: int = 2
+    keyframe_level: int = 1
+    loop_icp_iters: int = 8
+    # Relative information weight of loop edges vs odometry edges: loop
+    # measurements come from a single-level keyframe-to-keyframe ICP and
+    # are noisier than fused frame-to-model odometry.
+    loop_edge_weight: float = 0.25
     loop_candidate_window: int = 5             # recent kfs excluded from loops
     loop_max_dist: float = 0.5                 # meters between kf positions
     gn_iters: int = 10

@@ -57,10 +57,14 @@ def so3_exp(omega: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """R (...,3,3) -> omega (...,3). Valid for theta < pi."""
+    """R (...,3,3) -> omega (...,3). Valid for theta < pi.
+
+    Uses atan2(sin, cos) rather than arccos(trace): arccos has an
+    unbounded derivative at the identity, which poisons Gauss-Newton
+    Jacobians of near-zero residual edges (pose-graph optimization
+    differentiates through this).
+    """
     trace = jnp.trace(R, axis1=-2, axis2=-1)
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -68,15 +72,14 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
             R[..., 1, 0] - R[..., 0, 1],
         ],
         axis=-1,
-    )
-    small = theta[..., None] < 0.03
-    # theta / (2 sin theta), series: 1/2 + theta^2/12
-    sin_theta_safe = jnp.where(small, 1.0, jnp.sin(theta)[..., None])
-    factor = jnp.where(
-        small,
-        0.5 + theta[..., None] ** 2 / 12.0,
-        theta[..., None] / (2.0 * sin_theta_safe),
-    )
+    )  # = 2 sin(theta) * axis
+    s2 = 0.25 * jnp.sum(w * w, axis=-1)[..., None]      # sin^2(theta)
+    c = jnp.clip((trace[..., None] - 1.0) * 0.5, -1.0, 1.0)  # cos(theta)
+    small = s2 < _SMALL_THETA2
+    s_safe = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(s_safe, c)
+    # theta / (2 sin theta); series in sin^2 near 0: 1/2 + s2/12.
+    factor = jnp.where(small, 0.5 + s2 / 12.0, theta / (2.0 * s_safe))
     return factor * w
 
 

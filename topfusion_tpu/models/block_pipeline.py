@@ -133,8 +133,21 @@ class BlockPipeline:
         )
 
         # Raycast model maps for the next frame
-        # (reference: topfu.cpp:306-309).
-        rc = raycast_blocks(m, cam, cfg.tsdf, cfg.blockmap, cfg.raycast, T_int)
+        # (reference: topfu.cpp:306-309).  Depth-guided: the just-fused
+        # depth bounds each ray to a narrow band (pixels outside it can
+        # never pass the ICP gates, which require current-frame validity).
+        if cfg.raycast.guided:
+            margin = cfg.icp.dist_threshold + 3.0 * cfg.tsdf.trunc_dist
+            rc = raycast_blocks(
+                m, cam, cfg.tsdf, cfg.blockmap, cfg.raycast, T_int,
+                expected_depth=raw_eff,
+                depth_margin=margin,
+                max_steps=cfg.raycast.guided_max_steps,
+            )
+        else:
+            rc = raycast_blocks(
+                m, cam, cfg.tsdf, cfg.blockmap, cfg.raycast, T_int
+            )
         mp = [rc.points]
         mn = [rc.normals]
         for _ in range(cfg.preproc.pyramid_levels - 1):

@@ -133,7 +133,17 @@ class DensePipeline:
 
         # Raycast for the next frame's model maps
         # (reference: topfu.cpp:306-309 CreateICPMaps + resize pyramid).
-        rc = raycast_dense(vol, cam, cfg.tsdf, cfg.dense, cfg.raycast, T_int)
+        # Depth-guided band around the just-fused depth when enabled.
+        if cfg.raycast.guided:
+            margin = cfg.icp.dist_threshold + 3.0 * cfg.tsdf.trunc_dist
+            rc = raycast_dense(
+                vol, cam, cfg.tsdf, cfg.dense, cfg.raycast, T_int,
+                expected_depth=raw_eff,
+                depth_margin=margin,
+                max_steps=cfg.raycast.guided_max_steps,
+            )
+        else:
+            rc = raycast_dense(vol, cam, cfg.tsdf, cfg.dense, cfg.raycast, T_int)
         mp = [rc.points]
         mn = [rc.normals]
         for _ in range(cfg.preproc.pyramid_levels - 1):

@@ -1,0 +1,251 @@
+"""Keyframe pose graph with loop closure and Gauss-Newton optimization.
+
+NEW capability — the reference has no pose graph, loop closure, or bundle
+adjustment of any kind (SURVEY.md section 0); its only trajectory
+correction is the full reset on tracking failure.  This module adds the
+InfiniTAM-v3-style missing piece: a keyframe store, ICP-verified loop
+constraints, and an in-graph damped Gauss-Newton solve over SE(3) with
+fixed capacities (static shapes; occupancy via masks).
+
+Distributed execution of the same optimization (edge-sharded with psum
+reduction over the device mesh) lives in parallel/dist_ba.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from topfusion_tpu.config import CameraConfig, ICPConfig, PoseGraphConfig
+from topfusion_tpu.geometry.se3 import (
+    se3_exp,
+    se3_log,
+    se3_inverse,
+    transform_points,
+    rotate_vectors,
+)
+from topfusion_tpu.ops.icp import icp_track
+
+
+class PoseGraph(NamedTuple):
+    kf_poses: jnp.ndarray     # [K, 4, 4] world-from-camera at keyframe time
+    kf_points: jnp.ndarray    # [K, h, w, 3] camera-space vertex map (coarse level)
+    kf_normals: jnp.ndarray   # [K, h, w, 3]
+    kf_frame: jnp.ndarray     # [K] int32 source frame index
+    num_kf: jnp.ndarray       # () int32
+    edge_i: jnp.ndarray       # [E] int32 source node
+    edge_j: jnp.ndarray       # [E] int32 target node
+    edge_T: jnp.ndarray       # [E, 4, 4] measured T_i^-1 T_j
+    edge_is_loop: jnp.ndarray # [E] bool
+    edge_weight: jnp.ndarray  # [E] float32 information weight
+    num_edges: jnp.ndarray    # () int32
+
+
+def make_pose_graph(cfg: PoseGraphConfig, cam_level: CameraConfig) -> PoseGraph:
+    k, e = cfg.max_keyframes, cfg.max_edges
+    h, w = cam_level.height, cam_level.width
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (k, 4, 4))
+    return PoseGraph(
+        kf_poses=eye,
+        kf_points=jnp.zeros((k, h, w, 3), jnp.float32),
+        kf_normals=jnp.zeros((k, h, w, 3), jnp.float32),
+        kf_frame=jnp.full((k,), -1, jnp.int32),
+        num_kf=jnp.asarray(0, jnp.int32),
+        edge_i=jnp.zeros((e,), jnp.int32),
+        edge_j=jnp.zeros((e,), jnp.int32),
+        edge_T=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (e, 4, 4)),
+        edge_is_loop=jnp.zeros((e,), bool),
+        edge_weight=jnp.ones((e,), jnp.float32),
+        num_edges=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ----------------------------------------------------------------- insert
+def add_keyframe(
+    pg: PoseGraph,
+    T_wc: jnp.ndarray,
+    points_l: jnp.ndarray,
+    normals_l: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    do_add: jnp.ndarray,
+) -> PoseGraph:
+    """Insert a keyframe (masked) and its odometry edge to the previous
+    keyframe."""
+    k_cap = pg.kf_poses.shape[0]
+    e_cap = pg.edge_i.shape[0]
+    idx = pg.num_kf
+    can = do_add & (idx < k_cap)
+    widx = jnp.where(can, idx, k_cap)  # OOB drop
+
+    pg = pg._replace(
+        kf_poses=pg.kf_poses.at[widx].set(T_wc, mode="drop"),
+        kf_points=pg.kf_points.at[widx].set(points_l, mode="drop"),
+        kf_normals=pg.kf_normals.at[widx].set(normals_l, mode="drop"),
+        kf_frame=pg.kf_frame.at[widx].set(frame_idx, mode="drop"),
+        num_kf=pg.num_kf + can.astype(jnp.int32),
+    )
+
+    # Odometry edge (idx-1) -> idx.
+    has_prev = can & (idx > 0)
+    prev_pose = pg.kf_poses[jnp.maximum(idx - 1, 0)]
+    T_meas = se3_inverse(prev_pose) @ T_wc
+    eidx = jnp.where(has_prev & (pg.num_edges < e_cap), pg.num_edges, e_cap)
+    pg = pg._replace(
+        edge_i=pg.edge_i.at[eidx].set(jnp.maximum(idx - 1, 0), mode="drop"),
+        edge_j=pg.edge_j.at[eidx].set(idx, mode="drop"),
+        edge_T=pg.edge_T.at[eidx].set(T_meas, mode="drop"),
+        edge_is_loop=pg.edge_is_loop.at[eidx].set(False, mode="drop"),
+        edge_weight=pg.edge_weight.at[eidx].set(1.0, mode="drop"),
+        num_edges=pg.num_edges
+        + (has_prev & (pg.num_edges < e_cap)).astype(jnp.int32),
+    )
+    return pg
+
+
+# ----------------------------------------------------------------- loops
+def detect_loop(
+    pg: PoseGraph,
+    cam_level: CameraConfig,
+    pg_cfg: PoseGraphConfig,
+    icp_cfg: ICPConfig,
+) -> Tuple[PoseGraph, jnp.ndarray]:
+    """Try to close a loop for the NEWEST keyframe.
+
+    Candidate = nearest older keyframe outside the recency window within
+    ``loop_max_dist``; verification = short coarse-level ICP between the
+    two keyframes' stored maps.  Constant compile-time cost; the edge is
+    inserted under a mask.  Returns (graph, loop_found).
+    """
+    k_cap = pg.kf_poses.shape[0]
+    e_cap = pg.edge_i.shape[0]
+    cur = jnp.maximum(pg.num_kf - 1, 0)
+    cur_pose = pg.kf_poses[cur]
+
+    # Candidate selection by camera-centre distance.
+    centers = pg.kf_poses[:, :3, 3]
+    d = jnp.linalg.norm(centers - cur_pose[:3, 3], axis=-1)
+    eligible = (
+        (jnp.arange(k_cap) < pg.num_kf - pg_cfg.loop_candidate_window)
+        & (d <= pg_cfg.loop_max_dist)
+    )
+    d_masked = jnp.where(eligible, d, jnp.inf)
+    cand = jnp.argmin(d_masked)
+    has_cand = jnp.isfinite(d_masked[cand])
+
+    # Verify with a short ICP: current kf maps (camera space) against the
+    # candidate's maps placed in the world via the candidate pose.
+    cand_pose = pg.kf_poses[cand]
+    cp = pg.kf_points[cur]
+    cn = pg.kf_normals[cur]
+    mp_cam = pg.kf_points[cand]
+    mn_cam = pg.kf_normals[cand]
+    mvalid = jnp.any(mp_cam != 0.0, axis=-1, keepdims=True)
+    mp = jnp.where(mvalid, transform_points(cand_pose, mp_cam), 0.0)
+    mn = jnp.where(mvalid, rotate_vectors(cand_pose, mn_cam), 0.0)
+
+    res = icp_track(
+        cam_level,
+        ICPConfig(
+            iters=(pg_cfg.loop_icp_iters,),
+            dist_threshold=icp_cfg.dist_threshold * 2.0,
+            angle_threshold_deg=icp_cfg.angle_threshold_deg,
+        ),
+        cur_pose,
+        cand_pose,
+        [cp],
+        [cn],
+        [mp],
+        [mn],
+    )
+    good = (
+        has_cand
+        & res.ok
+        & (res.residual < pg_cfg.huber_delta)
+        & (res.num_inliers > icp_cfg.min_corresp * 4)
+    )
+
+    # Loop edge cand -> cur with T_meas from the refined pose.
+    T_meas = se3_inverse(cand_pose) @ res.T_wc
+    eidx = jnp.where(good & (pg.num_edges < e_cap), pg.num_edges, e_cap)
+    pg = pg._replace(
+        edge_i=pg.edge_i.at[eidx].set(cand, mode="drop"),
+        edge_j=pg.edge_j.at[eidx].set(cur, mode="drop"),
+        edge_T=pg.edge_T.at[eidx].set(T_meas, mode="drop"),
+        edge_is_loop=pg.edge_is_loop.at[eidx].set(True, mode="drop"),
+        edge_weight=pg.edge_weight.at[eidx].set(
+            pg_cfg.loop_edge_weight, mode="drop"
+        ),
+        num_edges=pg.num_edges
+        + (good & (pg.num_edges < e_cap)).astype(jnp.int32),
+    )
+    return pg, good
+
+
+# ----------------------------------------------------------------- residuals
+def edge_residuals(
+    twists: jnp.ndarray, pg: PoseGraph
+) -> jnp.ndarray:
+    """Stacked 6-vector residuals r_e = log(T_meas^-1 (exp(x_i) T_i)^-1
+    (exp(x_j) T_j)) for every edge slot [E, 6] (invalid slots -> 0)."""
+    poses = se3_exp(twists) @ pg.kf_poses
+    Ti = poses[pg.edge_i]
+    Tj = poses[pg.edge_j]
+    rel = se3_inverse(Ti) @ Tj
+    r = se3_log(se3_inverse(pg.edge_T) @ rel)
+    valid = (jnp.arange(pg.edge_i.shape[0]) < pg.num_edges)[:, None]
+    return jnp.where(valid, r, 0.0)
+
+
+def _huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Per-edge IRLS weights for the Huber loss on ||r_e||."""
+    n = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(n <= delta, 1.0, delta / jnp.maximum(n, 1e-12))
+
+
+def optimize(
+    pg: PoseGraph, cfg: PoseGraphConfig
+) -> Tuple[PoseGraph, jnp.ndarray]:
+    """Damped Gauss-Newton over all keyframe poses (gauge: node 0 fixed).
+
+    The Jacobian comes from autodiff of the residual map; the normal
+    equations are one [6K, 6K] dense solve — at K<=256 this is a single
+    MXU-sized problem, no sparsity machinery needed.  Returns
+    (optimized graph, final chi2).
+    """
+    k_cap = pg.kf_poses.shape[0]
+    n_params = 6 * k_cap
+
+    def gn_step(_, twists):
+        r = edge_residuals(twists, pg)                       # [E, 6]
+        J = jax.jacfwd(lambda t: edge_residuals(t, pg).reshape(-1))(twists)
+        J = J.reshape(-1, n_params)                          # [6E, 6K]
+        w = jnp.repeat(
+            _huber_weights(r, cfg.huber_delta) * pg.edge_weight, 6
+        )  # [6E]
+        Jw = J * w[:, None]
+        H = Jw.T @ J.reshape(-1, n_params)
+        b = Jw.T @ r.reshape(-1)
+        # Gauge fixing: freeze node 0 by zeroing its rows/cols and
+        # putting identity on its diagonal block.
+        mask = jnp.concatenate(
+            [jnp.zeros(6), jnp.ones(n_params - 6)]
+        )
+        H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        b = b * mask
+        H = H + cfg.damping * jnp.eye(n_params)
+        dx = jnp.linalg.solve(H, -b)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
+        return twists + dx.reshape(k_cap, 6)
+
+    twists0 = jnp.zeros((k_cap, 6), jnp.float32)
+    twists = lax.fori_loop(0, cfg.gn_iters, gn_step, twists0)
+
+    new_poses = se3_exp(twists) @ pg.kf_poses
+    live = (jnp.arange(k_cap) < pg.num_kf)[:, None, None]
+    pg = pg._replace(kf_poses=jnp.where(live, new_poses, pg.kf_poses))
+    chi2 = jnp.sum(edge_residuals(jnp.zeros((k_cap, 6)), pg) ** 2)
+    return pg, chi2

@@ -222,12 +222,27 @@ def raycast_blocks(
     bm_cfg: BlockMapConfig,
     ray_cfg: RaycastConfig,
     T_wc: jnp.ndarray,
+    expected_depth: jnp.ndarray | None = None,
+    depth_margin: float = 0.16,
+    max_steps: int | None = None,
 ) -> RaycastResult:
     """Sphere-trace every pixel through the sparse map.
 
     Identical lockstep structure to ops/tsdf_dense.raycast_dense, with
     per-step block lookups: a miss advances a full block width
     (reference: VisualisationEngine_Shared.hpp:134-153).
+
+    ``expected_depth`` enables the TPU analogue of the reference's
+    expected-depth ranges (reference: CreateExpectedDepths,
+    VisualisationEngine_CUDA.cu:119-173): each ray starts at
+    ``expected_depth - depth_margin`` and stops at ``+ depth_margin``.
+    When raycasting ICP model maps right after integrating a frame at the
+    same pose, the just-fused depth image IS the expected depth, so a
+    ~16-step band replaces a full 150+-step frustum march.  In lockstep
+    XLA every pixel pays the worst-case step count, so the caller should
+    pass a small ``max_steps`` with it; pixels without valid expected
+    depth fall back to the full range and may not finish (they produce no
+    ICP correspondences anyway — gates require current-frame validity).
     """
     h, w = cam.height, cam.width
     mu = tsdf_cfg.trunc_dist
@@ -251,6 +266,17 @@ def raycast_blocks(
 
     t_min = jnp.full((h, w), tsdf_cfg.view_frustum_min, jnp.float32)
     t_max = jnp.full((h, w), tsdf_cfg.view_frustum_max, jnp.float32)
+    if expected_depth is not None:
+        dvalid = expected_depth > 0.0
+        t_min = jnp.where(
+            dvalid,
+            jnp.maximum(t_min, expected_depth - depth_margin),
+            t_min,
+        )
+        t_max = jnp.where(
+            dvalid, jnp.minimum(t_max, expected_depth + depth_margin), t_max
+        )
+    n_steps = max_steps if max_steps is not None else ray_cfg.max_steps
     min_step = ray_cfg.min_step_voxels * voxel
 
     def to_voxel(t):
@@ -286,7 +312,7 @@ def raycast_blocks(
         jnp.ones((h, w), bool),
         jnp.zeros((h, w), bool),
     )
-    _, _, _, t_hit, _, found = lax.fori_loop(0, ray_cfg.max_steps, body, init)
+    _, _, _, t_hit, _, found = lax.fori_loop(0, n_steps, body, init)
 
     def refine(_, t):
         sdf_tri, _ = sample_trilinear(m, to_voxel(t), bits)

@@ -191,6 +191,9 @@ def raycast_dense(
     dense_cfg: DenseVolumeConfig,
     ray_cfg: RaycastConfig,
     T_wc: jnp.ndarray,
+    expected_depth: jnp.ndarray | None = None,
+    depth_margin: float = 0.16,
+    max_steps: int | None = None,
 ) -> RaycastResult:
     """Sphere-trace every pixel through the volume from pose ``T_wc``.
 
@@ -231,6 +234,16 @@ def raycast_dense(
     t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
     t_min = jnp.maximum(t_near, tsdf_cfg.view_frustum_min)
     t_max = jnp.minimum(t_far, tsdf_cfg.view_frustum_max)
+    if expected_depth is not None:
+        # Depth-guided band (see ops/tsdf_block.raycast_blocks docstring).
+        dvalid = expected_depth > 0.0
+        t_min = jnp.where(
+            dvalid, jnp.maximum(t_min, expected_depth - depth_margin), t_min
+        )
+        t_max = jnp.where(
+            dvalid, jnp.minimum(t_max, expected_depth + depth_margin), t_max
+        )
+    n_steps = max_steps if max_steps is not None else ray_cfg.max_steps
     alive0 = t_min < t_max
 
     min_step = ray_cfg.min_step_voxels * voxel
@@ -269,7 +282,7 @@ def raycast_dense(
         alive0,
         jnp.zeros((h, w), bool),
     )
-    _, _, _, t_hit, _, found = lax.fori_loop(0, ray_cfg.max_steps, body, init)
+    _, _, _, t_hit, _, found = lax.fori_loop(0, n_steps, body, init)
 
     # Refinement: a few trilinear Newton steps around the crossing
     # (reference: VisualisationEngine_Shared.hpp:155-166).
