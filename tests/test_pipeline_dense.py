@@ -67,9 +67,10 @@ def test_ate_near_zero(run_sequence):
 
 def test_inlier_counts_reasonable(run_sequence):
     _, _, _, auxes, _, _ = run_sequence
-    # After frame 0 the model raycast must supply plenty of correspondences.
+    # After frame 0 the model raycast must supply plenty of correspondences
+    # (level-0 rows are subsampled by icp.level0_stride^2).
     for aux in auxes[1:]:
-        assert int(aux.num_inliers) > 500
+        assert int(aux.num_inliers) > 150
 
 
 def test_render_produces_image(run_sequence):
@@ -105,4 +106,4 @@ def test_reset_on_garbage_frame():
     assert bool(aux2.ok) and not bool(aux2.was_reset)
     # And the frame after that tracks normally against the rebuilt model.
     state, aux3 = pipe.step(state, d0)
-    assert bool(aux3.ok) and int(aux3.num_inliers) > 500
+    assert bool(aux3.ok) and int(aux3.num_inliers) > 150

@@ -91,6 +91,20 @@ class ICPConfig:
     min_det: float = 1e-14
     # Minimum number of gated correspondences for a valid solve.
     min_corresp: int = 30
+    # Bilinear (sub-pixel) gather of model maps during association; nearest
+    # is 4x fewer gathers and measured accuracy-neutral on synthetic scenes.
+    bilinear: bool = False
+    # Model-map gather implementation: "onehot" = banded one-hot matmul on
+    # the MXU (ops/gather_mm.py; TPUs have no hardware gather), "take" =
+    # plain XLA fancy indexing.  onehot implies nearest association and
+    # drops correspondences displaced vertically by more than
+    # onehot_v_margin pixels (projective locality bound).
+    gather_mode: str = "onehot"
+    onehot_v_margin: int = 32
+    # Stride over level-0 pixels when building the normal equations; the
+    # 6x6 system is massively over-determined at VGA (300k rows), so a
+    # stride of 2 (4x fewer gathers) costs no accuracy.
+    level0_stride: int = 2
 
     @property
     def angle_threshold_cos(self) -> float:
@@ -112,6 +126,11 @@ class TSDFConfig:
     stop_integrating_at_max_weight: bool = False
     view_frustum_min: float = 0.2              # meters
     view_frustum_max: float = 3.0              # meters
+    # Color fusion (the reference's Voxel_*_rgb trait variants become a
+    # config flag; fusion rule mirrors computeUpdatedVoxelColorInfo,
+    # reference: SceneReconstructionEngine.hpp:116-148).  Color voxels are
+    # stored as float RGB in [0, 1] alongside the TSDF.
+    use_color: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,7 +184,7 @@ class RaycastConfig:
     # Step length multipliers in voxel units (reference: topfu.cpp:41-44
     # raycast_step_factor; castRay steps max(sdf*mu/voxel, 1)).
     min_step_voxels: float = 1.0
-    refine_steps: int = 2
+    refine_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,8 +28,11 @@ from topfusion_tpu.ops.rendering import phong_shade
 from topfusion_tpu.ops.tsdf_dense import (
     DenseVolume,
     make_dense_volume,
+    make_color_volume,
     integrate_dense,
+    integrate_color_dense,
     raycast_dense,
+    sample_color_dense,
 )
 
 
@@ -38,6 +41,7 @@ class DenseState(NamedTuple):
 
     tsdf: jnp.ndarray                 # [D0, D1, D2]
     weight: jnp.ndarray               # [D0, D1, D2]
+    color: jnp.ndarray                # [D0, D1, D2, 3] (1-voxel dummy if off)
     T_wc: jnp.ndarray                 # (4, 4) current camera-to-world pose
     model_points: Tuple[jnp.ndarray, ...]   # world-space raycast pyramid
     model_normals: Tuple[jnp.ndarray, ...]
@@ -65,6 +69,7 @@ class DensePipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.step = jax.jit(self._step)
+        self.step_rgb = jax.jit(self._step_rgb)
 
     def init(self) -> DenseState:
         cfg = self.cfg
@@ -79,6 +84,7 @@ class DensePipeline:
         return DenseState(
             tsdf=vol.tsdf,
             weight=vol.weight,
+            color=make_color_volume(cfg.dense, cfg.tsdf.use_color),
             T_wc=jnp.eye(4, dtype=jnp.float32),
             model_points=tuple(mp),
             model_normals=tuple(mn),
@@ -87,8 +93,19 @@ class DensePipeline:
         )
 
     # ------------------------------------------------------------------
+    def _step_rgb(
+        self, state: DenseState, depth_mm: jnp.ndarray, rgb: jnp.ndarray
+    ) -> Tuple[DenseState, StepAux]:
+        # Fusion step that also fuses color (cfg.tsdf.use_color must be on;
+        # the analogue of the Voxel_*_rgb trait variants, reference:
+        # tfusion/include/tfusion/cuda/VoxelTypes.hpp:8-67).
+        return self._step(state, depth_mm, rgb)
+
     def _step(
-        self, state: DenseState, depth_mm: jnp.ndarray
+        self,
+        state: DenseState,
+        depth_mm: jnp.ndarray,
+        rgb: jnp.ndarray | None = None,
     ) -> Tuple[DenseState, StepAux]:
         cfg = self.cfg
         cam = cfg.camera
@@ -131,6 +148,13 @@ class DensePipeline:
         raw_eff = jnp.where(do_reset, 0.0, raw_m)
         vol = integrate_dense(vol, cam, cfg.tsdf, cfg.dense, T_int, raw_eff)
 
+        color = state.color
+        if cfg.tsdf.use_color and rgb is not None:
+            color = jnp.where(do_reset, 0.0, color)
+            color = integrate_color_dense(
+                color, vol, cam, cfg.tsdf, cfg.dense, T_int, raw_eff, rgb
+            )
+
         # Raycast for the next frame's model maps
         # (reference: topfu.cpp:306-309 CreateICPMaps + resize pyramid).
         # Depth-guided band around the just-fused depth when enabled.
@@ -154,6 +178,7 @@ class DensePipeline:
         new_state = DenseState(
             tsdf=vol.tsdf,
             weight=vol.weight,
+            color=color,
             T_wc=T_int,
             model_points=tuple(mp),
             model_normals=tuple(mn),
@@ -184,3 +209,19 @@ class DensePipeline:
         )
         light = state.T_wc[:3, 3] + jnp.asarray([0.0, -1.0, -1.0])
         return phong_shade(rc.points, rc.normals, light, state.T_wc[:3, 3])
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def render_color(self, state: DenseState) -> jnp.ndarray:
+        # Raycast color view (the RENDER_COLOUR_FROM_VOLUME mode of the
+        # reference, VisualisationEngine.hpp:12-109).
+        cfg = self.cfg
+        rc = raycast_dense(
+            DenseVolume(state.tsdf, state.weight),
+            cfg.camera, cfg.tsdf, cfg.dense, cfg.raycast, state.T_wc,
+        )
+        origin = jnp.asarray(cfg.dense.origin, jnp.float32)
+        pv = (rc.points - origin) / cfg.tsdf.voxel_size
+        col = sample_color_dense(state.color, pv, state.color.shape[:3])
+        col = jnp.where(rc.hit[..., None], col, 0.0)
+        return (jnp.clip(col, 0.0, 1.0) * 255.0).astype(jnp.uint8)

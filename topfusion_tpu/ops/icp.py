@@ -41,6 +41,7 @@ from topfusion_tpu.geometry.se3 import (
     rotate_vectors,
 )
 from topfusion_tpu.geometry.camera import project
+from topfusion_tpu.ops.gather_mm import banded_projective_gather
 
 
 class ICPResult(NamedTuple):
@@ -60,13 +61,16 @@ def build_normal_equations(
     model_normals: jnp.ndarray,
     dist_thresh: float,
     angle_cos_thresh: float,
+    bilinear: bool = False,
+    gather_mode: str = "take",
+    onehot_v_margin: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One projective-association pass -> 7x7 Gram matrix + inlier count.
 
     Returns ``(G, count)`` where ``G[:6, :6] = JtJ``, ``G[:6, 6] = Jtr``,
     ``G[6, 6] = r^T r``.
     """
-    h, w = curr_points.shape[:2]
+    h, w = model_points.shape[:2]
     curr_valid = jnp.any(curr_points != 0.0, axis=-1)
 
     # Current-frame points/normals into world via the pose estimate.
@@ -80,47 +84,67 @@ def build_normal_equations(
     uf, vf = uv[..., 0], uv[..., 1]
     in_bounds = (uf >= 0.0) & (uf <= w - 1.0) & (vf >= 0.0) & (vf <= h - 1.0) & (z > 0.0)
 
-    # Sub-pixel bilinear gather of the model maps (the reference gathers
-    # prev maps through CUDA textures at integer coords, proj_icp.cu:409-412;
-    # bilinear association removes the ~1 px quantisation bias).  A quad is
-    # usable only if all four corners are valid; otherwise fall back to the
-    # nearest corner.
-    u0 = jnp.clip(jnp.floor(uf).astype(jnp.int32), 0, w - 2)
-    v0 = jnp.clip(jnp.floor(vf).astype(jnp.int32), 0, h - 2)
-    fu = jnp.clip(uf - u0.astype(uf.dtype), 0.0, 1.0)[..., None]
-    fv = jnp.clip(vf - v0.astype(vf.dtype), 0.0, 1.0)[..., None]
+    if bilinear:
+        # Sub-pixel bilinear gather of the model maps (the reference gathers
+        # prev maps through CUDA textures at integer coords,
+        # proj_icp.cu:409-412).  A quad is usable only if all four corners
+        # are valid; otherwise fall back to the nearest corner.
+        u0 = jnp.clip(jnp.floor(uf).astype(jnp.int32), 0, w - 2)
+        v0 = jnp.clip(jnp.floor(vf).astype(jnp.int32), 0, h - 2)
+        fu = jnp.clip(uf - u0.astype(uf.dtype), 0.0, 1.0)[..., None]
+        fv = jnp.clip(vf - v0.astype(vf.dtype), 0.0, 1.0)[..., None]
 
-    def corners(m):
-        return (m[v0, u0], m[v0, u0 + 1], m[v0 + 1, u0], m[v0 + 1, u0 + 1])
+        def corners(m):
+            return (m[v0, u0], m[v0, u0 + 1], m[v0 + 1, u0], m[v0 + 1, u0 + 1])
 
-    q00, q01, q10, q11 = corners(model_points)
-    n00, n01, n10, n11 = corners(model_normals)
-    all_valid = (
-        jnp.any(q00 != 0.0, axis=-1)
-        & jnp.any(q01 != 0.0, axis=-1)
-        & jnp.any(q10 != 0.0, axis=-1)
-        & jnp.any(q11 != 0.0, axis=-1)
-    )
-
-    def lerp(a00, a01, a10, a11):
-        return (
-            a00 * (1 - fu) * (1 - fv)
-            + a01 * fu * (1 - fv)
-            + a10 * (1 - fu) * fv
-            + a11 * fu * fv
+        q00, q01, q10, q11 = corners(model_points)
+        n00, n01, n10, n11 = corners(model_normals)
+        all_valid = (
+            jnp.any(q00 != 0.0, axis=-1)
+            & jnp.any(q01 != 0.0, axis=-1)
+            & jnp.any(q10 != 0.0, axis=-1)
+            & jnp.any(q11 != 0.0, axis=-1)
         )
 
-    # Nearest-corner fallback.
-    un = jnp.clip(jnp.round(uf).astype(jnp.int32), 0, w - 1)
-    vn = jnp.clip(jnp.round(vf).astype(jnp.int32), 0, h - 1)
-    q_near = model_points[vn, un]
-    n_near = model_normals[vn, un]
+        def lerp(a00, a01, a10, a11):
+            return (
+                a00 * (1 - fu) * (1 - fv)
+                + a01 * fu * (1 - fv)
+                + a10 * (1 - fu) * fv
+                + a11 * fu * fv
+            )
 
-    q_w = jnp.where(all_valid[..., None], lerp(q00, q01, q10, q11), q_near)
-    nq_w = jnp.where(all_valid[..., None], lerp(n00, n01, n10, n11), n_near)
-    nq_norm = jnp.linalg.norm(nq_w, axis=-1, keepdims=True)
-    nq_w = nq_w / jnp.maximum(nq_norm, 1e-12)
-    model_valid = jnp.any(q_w != 0.0, axis=-1) & (nq_norm[..., 0] > 1e-6)
+        # Nearest-corner fallback.
+        un = jnp.clip(jnp.round(uf).astype(jnp.int32), 0, w - 1)
+        vn = jnp.clip(jnp.round(vf).astype(jnp.int32), 0, h - 1)
+        q_near = model_points[vn, un]
+        n_near = model_normals[vn, un]
+
+        q_w = jnp.where(all_valid[..., None], lerp(q00, q01, q10, q11), q_near)
+        nq_w = jnp.where(all_valid[..., None], lerp(n00, n01, n10, n11), n_near)
+        nq_norm = jnp.linalg.norm(nq_w, axis=-1, keepdims=True)
+        nq_w = nq_w / jnp.maximum(nq_norm, 1e-12)
+        model_valid = jnp.any(q_w != 0.0, axis=-1) & (nq_norm[..., 0] > 1e-6)
+    elif gather_mode == "onehot":
+        # Banded one-hot matmul gather (MXU; see ops/gather_mm.py): both
+        # maps in one pass via channel concatenation.  Correspondences
+        # vertically displaced beyond the band margin are dropped — the
+        # projective-locality bound that makes the gather MXU-shaped.
+        un = jnp.round(uf).astype(jnp.int32)
+        vn = jnp.round(vf).astype(jnp.int32)
+        cat = jnp.concatenate([model_points, model_normals], axis=-1)
+        gathered, band_ok = banded_projective_gather(
+            cat, un, vn, v_margin=onehot_v_margin
+        )
+        q_w = gathered[..., :3]
+        nq_w = gathered[..., 3:]
+        model_valid = band_ok & jnp.any(q_w != 0.0, axis=-1)
+    else:
+        un = jnp.clip(jnp.round(uf).astype(jnp.int32), 0, w - 1)
+        vn = jnp.clip(jnp.round(vf).astype(jnp.int32), 0, h - 1)
+        q_w = model_points[vn, un]
+        nq_w = model_normals[vn, un]
+        model_valid = jnp.any(q_w != 0.0, axis=-1)
 
     diff = p_w - q_w
     dist2 = jnp.sum(diff * diff, axis=-1)
@@ -196,12 +220,20 @@ def icp_track(
         cam_l = cam0.at_level(level)
         cp, cn = curr_points_pyr[level], curr_normals_pyr[level]
         mp, mn = model_points_pyr[level], model_normals_pyr[level]
+        if level == 0 and cfg.level0_stride > 1:
+            # Subsample the ROWS of the system (current-frame pixels); the
+            # model maps stay full-res for association accuracy.
+            st = cfg.level0_stride
+            cp, cn = cp[::st, ::st], cn[::st, ::st]
 
         def body(_, carry):
             T, ok, _res, _cnt = carry
             G, count = build_normal_equations(
                 cam_l, T, T_model, cp, cn, mp, mn,
                 cfg.dist_threshold, cfg.angle_threshold_cos,
+                bilinear=cfg.bilinear,
+                gather_mode=cfg.gather_mode,
+                onehot_v_margin=cfg.onehot_v_margin,
             )
             xi, step_ok = _solve_increment(G, count, cfg)
             T_new = se3_exp(xi) @ T

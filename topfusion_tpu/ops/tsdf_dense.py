@@ -112,6 +112,72 @@ def integrate_dense(
     )
 
 
+def make_color_volume(cfg: DenseVolumeConfig, use_color: bool, dtype=jnp.float32):
+    """RGB color grid [D0, D1, D2, 3] (or a 1-voxel dummy when disabled, so
+    pipeline state keeps a stable pytree structure)."""
+    dims = cfg.dims if use_color else (1, 1, 1)
+    return jnp.zeros(dims + (3,), dtype)
+
+
+def integrate_color_dense(
+    color_vol: jnp.ndarray,
+    vol: DenseVolume,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    dense_cfg: DenseVolumeConfig,
+    T_wc: jnp.ndarray,
+    depth: jnp.ndarray,
+    rgb: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fuse an RGB image into the color grid (running average with the same
+    weights as the depth fusion; only voxels within mu/4 of the surface
+    take color, mirroring computeUpdatedVoxelColorInfo's tighter band —
+    reference: SceneReconstructionEngine.hpp:161-176 eta > -mu*0.25 gate).
+    """
+    d0, d1, d2 = dense_cfg.dims
+    h, w = depth.shape
+    mu = tsdf_cfg.trunc_dist
+    voxel = tsdf_cfg.voxel_size
+    origin = jnp.asarray(dense_cfg.origin, jnp.float32)
+
+    ix = lax.broadcasted_iota(jnp.float32, (d0, d1, d2), 0)
+    iy = lax.broadcasted_iota(jnp.float32, (d0, d1, d2), 1)
+    iz = lax.broadcasted_iota(jnp.float32, (d0, d1, d2), 2)
+    pw = jnp.stack([ix, iy, iz], axis=-1) * voxel + (origin + 0.5 * voxel)
+    T_cw = se3_inverse(T_wc)
+    pc = transform_points(T_cw, pw)
+    uv, z = project(cam, pc)
+    u = jnp.round(uv[..., 0]).astype(jnp.int32)
+    v = jnp.round(uv[..., 1]).astype(jnp.int32)
+    in_bounds = (
+        (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        & (z >= tsdf_cfg.view_frustum_min) & (z <= tsdf_cfg.view_frustum_max)
+    )
+    uc = jnp.clip(u, 0, w - 1)
+    vc = jnp.clip(v, 0, h - 1)
+    d = depth[vc, uc]
+    c_obs = rgb[vc, uc].astype(jnp.float32)
+    if rgb.dtype == jnp.uint8:
+        c_obs = c_obs / 255.0
+
+    eta = d - z
+    update = in_bounds & (d > 0.0) & (jnp.abs(eta) < mu * 0.25)
+    w_old = vol.weight
+    fused = (color_vol * w_old[..., None] + c_obs) / (w_old[..., None] + 1.0)
+    return jnp.where(update[..., None], fused, color_vol)
+
+
+def sample_color_dense(
+    color_vol: jnp.ndarray, pv: jnp.ndarray, dims: Tuple[int, int, int]
+) -> jnp.ndarray:
+    """Nearest-voxel color at fractional voxel coords (..., 3)."""
+    idx = jnp.floor(pv).astype(jnp.int32)
+    inb = jnp.all((idx >= 0) & (idx < jnp.asarray(dims)), axis=-1)
+    ic = jnp.clip(idx, 0, jnp.asarray(dims) - 1)
+    c = color_vol[ic[..., 0], ic[..., 1], ic[..., 2]]
+    return jnp.where(inb[..., None], c, 0.0)
+
+
 def _sample_nearest(
     vol: DenseVolume, pv: jnp.ndarray, dims: Tuple[int, int, int]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

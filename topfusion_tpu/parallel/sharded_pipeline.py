@@ -41,9 +41,17 @@ def state_shardings(mesh: Mesh, state: DenseState) -> DenseState:
     everything else replicated."""
     vol = NamedSharding(mesh, P("map", None, None))
     rep = NamedSharding(mesh, P())
+    # Color grid shards like the volume when enabled; the 1-voxel dummy
+    # must stay replicated.
+    color = (
+        NamedSharding(mesh, P("map", None, None, None))
+        if state.color.shape[0] > 1
+        else NamedSharding(mesh, P())
+    )
     return DenseState(
         tsdf=vol,
         weight=vol,
+        color=color,
         T_wc=rep,
         model_points=tuple(rep for _ in state.model_points),
         model_normals=tuple(rep for _ in state.model_normals),
