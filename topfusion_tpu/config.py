@@ -173,6 +173,10 @@ class RaycastConfig:
     """Raycaster (reference: VisualisationEngine_Shared.hpp:99-172 castRay)."""
 
     max_steps: int = 192                       # bound on sphere-march iterations
+    # ICP model-map generation: "splat" = forward-project surface voxels
+    # (ops/splat.py, scatter-shaped — fastest on TPU), "raycast" = guided
+    # sphere march (gather-shaped reference semantics).
+    model_maps: str = "splat"
     # Depth-guided model-map raycast: march only a band around the depth
     # image just integrated (the TPU analogue of the reference's
     # expected-depth ranges; see ops/tsdf_block.raycast_blocks).

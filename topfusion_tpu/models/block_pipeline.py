@@ -27,6 +27,7 @@ from topfusion_tpu.ops.tsdf_block import (
     integrate_blocks,
     raycast_blocks,
 )
+from topfusion_tpu.ops.splat import splat_model_maps
 
 
 class BlockState(NamedTuple):
@@ -132,11 +133,15 @@ class BlockPipeline:
             m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
         )
 
-        # Raycast model maps for the next frame
-        # (reference: topfu.cpp:306-309).  Depth-guided: the just-fused
-        # depth bounds each ray to a narrow band (pixels outside it can
-        # never pass the ICP gates, which require current-frame validity).
-        if cfg.raycast.guided:
+        # Model maps for the next frame (reference: topfu.cpp:306-309
+        # CreateICPMaps).  Default: forward-projection splatting of the
+        # visible surface voxels (scatter-shaped; ops/splat.py).  The
+        # guided sphere march remains as the gather-shaped alternative.
+        if cfg.raycast.model_maps == "splat":
+            rc = splat_model_maps(
+                m, cam, cfg.tsdf, cfg.blockmap, T_int, vis
+            )
+        elif cfg.raycast.guided:
             margin = cfg.icp.dist_threshold + 3.0 * cfg.tsdf.trunc_dist
             rc = raycast_blocks(
                 m, cam, cfg.tsdf, cfg.blockmap, cfg.raycast, T_int,
