@@ -19,7 +19,7 @@ from topfusion_tpu.config import PipelineConfig
 from topfusion_tpu.ops.depth import preprocess_depth
 from topfusion_tpu.ops.normals import build_maps_pyramid, resize_points_normals
 from topfusion_tpu.ops.icp import icp_track
-from topfusion_tpu.ops.rendering import phong_shade
+from topfusion_tpu.ops.rendering import phong_shade, render_normals_rgb
 from topfusion_tpu.ops.blockmap import BlockMap, make_block_map, reset_block_map
 from topfusion_tpu.ops.tsdf_block import (
     allocate_from_depth,
@@ -189,3 +189,31 @@ class BlockPipeline:
         )
         light = state.T_wc[:3, 3] + jnp.asarray([0.0, -1.0, -1.0])
         return phong_shade(rc.points, rc.normals, light, state.T_wc[:3, 3])
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def render_normals(self, state: BlockState) -> jnp.ndarray:
+        # RENDER_COLOUR_FROM_NORMAL analogue
+        # (reference: VisualisationEngine.hpp render types).
+        cfg = self.cfg
+        rc = raycast_blocks(
+            state.block_map(), cfg.camera, cfg.tsdf, cfg.blockmap,
+            cfg.raycast, state.T_wc,
+        )
+        return render_normals_rgb(rc.normals)
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def render_confidence(self, state: BlockState) -> jnp.ndarray:
+        # RENDER_COLOUR_FROM_CONFIDENCE analogue: fusion weight, green
+        # (confident) -> red (fresh), reference pixel shader
+        # VisualisationEngine_Shared.hpp:272-498 drawPixelConfidence.
+        cfg = self.cfg
+        rc = raycast_blocks(
+            state.block_map(), cfg.camera, cfg.tsdf, cfg.blockmap,
+            cfg.raycast, state.T_wc,
+        )
+        c = jnp.clip(rc.confidence / cfg.tsdf.max_weight, 0.0, 1.0)
+        rgb = jnp.stack([1.0 - c, c, jnp.zeros_like(c)], axis=-1)
+        rgb = jnp.where(rc.hit[..., None], rgb, 0.0)
+        return (rgb * 255.0).astype(jnp.uint8)

@@ -148,5 +148,9 @@ def splat_model_maps(
     o_w = T_wc[:3, 3]
     normals = normals_from_point_map(points, o_w)
     return RaycastResult(
-        points=points, normals=normals, hit=hit.reshape(h, w), depth=depth
+        points=points,
+        normals=normals,
+        hit=hit.reshape(h, w),
+        depth=depth,
+        confidence=hit.reshape(h, w).astype(jnp.float32),
     )

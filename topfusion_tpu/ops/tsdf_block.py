@@ -330,4 +330,8 @@ def raycast_blocks(
 
     normals = normals_from_point_map(points, o_w)
     depth_out = jnp.where(hit, t_hit, 0.0)
-    return RaycastResult(points=points, normals=normals, hit=hit, depth=depth_out)
+    conf = jnp.where(hit, w_hit, 0.0)
+    return RaycastResult(
+        points=points, normals=normals, hit=hit, depth=depth_out,
+        confidence=conf,
+    )

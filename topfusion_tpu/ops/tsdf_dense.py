@@ -248,6 +248,10 @@ class RaycastResult(NamedTuple):
     normals: jnp.ndarray   # [H, W, 3] world-space normals (0 = miss)
     hit: jnp.ndarray       # [H, W] bool
     depth: jnp.ndarray     # [H, W] ray depth along camera z (0 = miss)
+    # Fusion weight at the hit — the reference's confidence channel
+    # (raycastResult w = confidence + 1, reference:
+    # VisualisationEngine_Shared.hpp:355-397 processPixelICP).
+    confidence: jnp.ndarray = None
 
 
 def raycast_dense(
@@ -372,4 +376,7 @@ def raycast_dense(
 
     normals = normals_from_point_map(points, o_w)
     depth = jnp.where(hit, t_hit, 0.0)
-    return RaycastResult(points=points, normals=normals, hit=hit, depth=depth)
+    conf = jnp.where(hit, w_hit, 0.0)
+    return RaycastResult(
+        points=points, normals=normals, hit=hit, depth=depth, confidence=conf
+    )
