@@ -50,7 +50,10 @@ def main() -> None:
         camera=cam,
         icp=ICPConfig(iters=(10, 5, 4)),
         tsdf=TSDFConfig(voxel_size=0.005, trunc_dist=0.02),
-        blockmap=BlockMapConfig(),
+        # Full reference map capacity; visible working set sized to the
+        # actual frustum band (~2-3k blocks at VGA/5mm) — gather/scatter
+        # cost scales with this bound.
+        blockmap=BlockMapConfig(max_visible_blocks=1 << 12),
         raycast=RaycastConfig(max_steps=192),
     )
 

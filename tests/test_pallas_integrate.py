@@ -1,0 +1,59 @@
+"""Pallas integrate kernel vs the XLA reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_pipeline_block import make_cfg
+from topfusion_tpu.io.synthetic import SyntheticScene
+from topfusion_tpu.models.block_pipeline import BlockPipeline
+from topfusion_tpu.ops.depth import preprocess_depth
+from topfusion_tpu.ops.tsdf_block import integrate_blocks, visible_blocks
+from topfusion_tpu.ops.pallas.integrate_kernel import integrate_blocks_pallas
+
+
+def test_pallas_integrate_matches_xla():
+    cfg = make_cfg()
+    scene = SyntheticScene()
+    pipe = BlockPipeline(cfg)
+    state = pipe.init()
+    d0 = scene.render_depth_mm(cfg.camera, jnp.eye(4))
+    state, _ = pipe.step(state, d0)  # allocate + fuse frame 0
+    m = state.block_map()
+    raw, _ = preprocess_depth(d0, cfg.preproc)
+
+    vis = visible_blocks(m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4))
+    m_ref, n_ref = integrate_blocks(
+        m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4), raw, vis
+    )
+    m_pal, n_pal = integrate_blocks_pallas(
+        m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4), raw, vis,
+        interpret=True,
+    )
+    assert int(n_ref) == int(n_pal)
+    t_ref, t_pal = np.asarray(m_ref.tsdf), np.asarray(m_pal.tsdf)
+    w_ref, w_pal = np.asarray(m_ref.weight), np.asarray(m_pal.weight)
+    np.testing.assert_allclose(w_pal, w_ref, atol=1e-5)
+    np.testing.assert_allclose(t_pal, t_ref, atol=1e-5)
+
+
+def test_pallas_integrate_untouched_blocks_preserved():
+    cfg = make_cfg()
+    scene = SyntheticScene()
+    pipe = BlockPipeline(cfg)
+    state = pipe.init()
+    d0 = scene.render_depth_mm(cfg.camera, jnp.eye(4))
+    state, _ = pipe.step(state, d0)
+    m = state.block_map()
+    raw, _ = preprocess_depth(d0, cfg.preproc)
+    # Pose far away: nothing visible -> pool must be bit-identical.
+    T_far = jnp.eye(4).at[0, 3].set(50.0)
+    vis = visible_blocks(m, cfg.camera, cfg.tsdf, cfg.blockmap, T_far)
+    m_pal, n = integrate_blocks_pallas(
+        m, cfg.camera, cfg.tsdf, cfg.blockmap, T_far, raw, vis,
+        interpret=True,
+    )
+    assert int(n) == 0
+    np.testing.assert_array_equal(np.asarray(m_pal.tsdf), np.asarray(m.tsdf))
+    np.testing.assert_array_equal(np.asarray(m_pal.weight), np.asarray(m.weight))

@@ -161,6 +161,10 @@ class BlockMapConfig:
     # Packed signed block coordinates use this many bits per axis (coords in
     # [-2**(bits-1), 2**(bits-1))); 10 bits -> +-512 blocks = +-20.5 m at 5 mm.
     coord_bits: int = 10
+    # Use the Pallas fused integration kernel (ops/pallas/integrate_kernel)
+    # instead of the XLA gather/fuse/scatter path. Requires a real TPU
+    # backend; the XLA path is the semantic reference.
+    use_pallas_integrate: bool = False
     # Allocation DDA sampling: pixel stride and fixed step count over the
     # depth+-mu segment (reference marches ceil(2|p1-p0|) steps,
     # SceneReconstructionEngine.hpp:237-241; we use a fixed masked count).

@@ -129,9 +129,18 @@ class BlockPipeline:
             m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff
         )
         vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
-        m, n_vis = integrate_blocks(
-            m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
-        )
+        if cfg.blockmap.use_pallas_integrate:
+            from topfusion_tpu.ops.pallas.integrate_kernel import (
+                integrate_blocks_pallas,
+            )
+
+            m, n_vis = integrate_blocks_pallas(
+                m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
+            )
+        else:
+            m, n_vis = integrate_blocks(
+                m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
+            )
 
         # Model maps for the next frame (reference: topfu.cpp:306-309
         # CreateICPMaps).  Default: forward-projection splatting of the
