@@ -165,7 +165,11 @@ class BlockPipeline:
         mp = [rc.points]
         mn = [rc.normals]
         for _ in range(cfg.preproc.pyramid_levels - 1):
-            p, n = resize_points_normals(mp[-1], mn[-1])
+            # Fence each level: keeps XLA from re-deriving level L-1 inside
+            # every quad tap of level L (see ops/depth.py module doc).
+            p, n = jax.lax.optimization_barrier(
+                resize_points_normals(mp[-1], mn[-1])
+            )
             mp.append(p)
             mn.append(n)
 

@@ -171,7 +171,11 @@ class DensePipeline:
         mp = [rc.points]
         mn = [rc.normals]
         for _ in range(cfg.preproc.pyramid_levels - 1):
-            p, n = resize_points_normals(mp[-1], mn[-1])
+            # Fence each level (see ops/depth.py module doc on XLA
+            # producer duplication across stencil fusions).
+            p, n = jax.lax.optimization_barrier(
+                resize_points_normals(mp[-1], mn[-1])
+            )
             mp.append(p)
             mn.append(n)
 

@@ -28,8 +28,17 @@ import functools
 from typing import List, Tuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from topfusion_tpu.config import PreprocConfig
+
+# Stage-boundary fences: XLA's fusion pass freely DUPLICATES a producer
+# into every consumer it fuses with.  For chained stencils (bilateral ->
+# pyramid -> vertex/normal maps) that turns an O(taps) pipeline into
+# O(taps^depth) recomputation — measured 300x slower at VGA on v5e.  An
+# optimization_barrier at each stage boundary forces the intermediate to
+# materialize once.
+_fence = lax.optimization_barrier
 
 
 def depth_to_meters(
@@ -131,7 +140,7 @@ def build_depth_pyramid(
     (reference: topfu.cpp:193-194 calls depthBuildPyramid per level)."""
     pyr = [depth]
     for _ in range(cfg.pyramid_levels - 1):
-        pyr.append(downsample_depth(pyr[-1], cfg.pyramid_sigma_depth))
+        pyr.append(_fence(downsample_depth(pyr[-1], cfg.pyramid_sigma_depth)))
     return pyr
 
 
@@ -152,5 +161,5 @@ def preprocess_depth(
         cfg.bilateral_sigma_spatial,
         cfg.bilateral_sigma_depth,
     )
-    filtered = truncate_depth(filtered, cfg.depth_truncation)
+    filtered = _fence(truncate_depth(filtered, cfg.depth_truncation))
     return raw_m, build_depth_pyramid(filtered, cfg)

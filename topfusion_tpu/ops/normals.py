@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from topfusion_tpu.config import CameraConfig
 from topfusion_tpu.geometry.camera import backproject_grid
-from topfusion_tpu.ops.depth import _shifted
+from topfusion_tpu.ops.depth import _shifted, _fence
 
 
 def compute_points_normals(
@@ -104,7 +104,7 @@ def build_maps_pyramid(
     (reference: topfu.cpp:196-197)."""
     points_pyr, normals_pyr = [], []
     for level, depth in enumerate(depth_pyr):
-        p, n = compute_points_normals(cam.at_level(level), depth)
+        p, n = _fence(compute_points_normals(cam.at_level(level), depth))
         points_pyr.append(p)
         normals_pyr.append(n)
     return points_pyr, normals_pyr

@@ -45,10 +45,12 @@ _WIN_W = 256   # depth window width (u); origin 128-aligned
 def _kernel(
     # scalar prefetch
     slots_ref,      # [Vp] int32 target pool row (capacity = sacrificial)
-    coords_ref,     # [Vp, 3] int32 block coords
+    coords_ref,     # [3, Vp] int32 block coords (transposed: SMEM pads the
+                    # minor dim to the lane width, so [Vp, 3] would cost
+                    # Vp*128 words)
     # tensor inputs (blocked by the grid spec)
-    tsdf_ref,       # [1, 512] f32 — this block's tsdf
-    w_ref,          # [1, 512] f32
+    tsdf_ref,       # [1, B, B*B] f32 — this block's tsdf (x, y*B+z)
+    w_ref,          # [1, B, B*B] f32
     depth_ref,      # [H, W] f32 (full, VMEM)
     params_ref,     # [1, 24] f32
     # outputs (aliases of the pool, same index map)
@@ -80,15 +82,19 @@ def _kernel(
     r20, r21, r22, t2 = (params_ref[0, 18], params_ref[0, 19],
                          params_ref[0, 20], params_ref[0, 21])
 
-    # local voxel offsets within the block, flattened x*64 + y*8 + z
-    l = lax.broadcasted_iota(jnp.int32, (1, bsz * bsz * bsz), 1)
-    lx = (l // (bsz * bsz)).astype(jnp.float32)
-    ly = ((l // bsz) % bsz).astype(jnp.float32)
-    lz = (l % bsz).astype(jnp.float32)
+    # Local voxel offsets laid out as the (B, B*B) ref block: row = x,
+    # col = y*B + z (the row-major flattening of [B, B, B]).  All compute
+    # stays in this native 2-D shape — Mosaic cannot shape-cast
+    # (1, 8, 64) <-> (1, 512) vectors.
+    row = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz), 0)
+    col = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz), 1)
+    lx = row.astype(jnp.float32)
+    ly = (col // bsz).astype(jnp.float32)
+    lz = (col % bsz).astype(jnp.float32)
 
-    bx = coords_ref[i, 0].astype(jnp.float32)
-    by = coords_ref[i, 1].astype(jnp.float32)
-    bz = coords_ref[i, 2].astype(jnp.float32)
+    bx = coords_ref[0, i].astype(jnp.float32)
+    by = coords_ref[1, i].astype(jnp.float32)
+    bz = coords_ref[2, i].astype(jnp.float32)
     wx = (bx * bsz + lx + 0.5) * voxel
     wy = (by * bsz + ly + 0.5) * voxel
     wz = (bz * bsz + lz + 0.5) * voxel
@@ -105,36 +111,53 @@ def _kernel(
         & (pz >= fmin) & (pz <= fmax)
     )
 
-    # aligned depth window at the projected footprint
-    u0 = jnp.clip((jnp.min(ui) // 128) * 128, 0, w - win_w)
-    v0 = jnp.clip((jnp.min(vi) // 8) * 8, 0, h - win_h)
+    # Aligned depth window at the projected footprint.  The window origin
+    # must come from IN-BOUNDS voxels only: out-of-frustum voxels project
+    # to garbage coordinates and would drag the window away from the
+    # valid ones.
+    big = jnp.int32(1 << 20)
+    ui_v = jnp.where(in_bounds, ui, big)
+    vi_v = jnp.where(in_bounds, vi, big)
+    u0 = jnp.clip((jnp.min(ui_v) // 128) * 128, 0, w - win_w)
+    v0 = jnp.clip((jnp.min(vi_v) // 8) * 8, 0, h - win_h)
     u0 = pl.multiple_of(u0, 128)
     v0 = pl.multiple_of(v0, 8)
     win = depth_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
 
-    ur = jnp.clip(ui - u0, 0, win_w - 1)
+    ur = jnp.clip(ui - u0, 0, win_w - 1)                     # [B, B*B]
     vr = jnp.clip(vi - v0, 0, win_h - 1)
-    cols_u = lax.broadcasted_iota(jnp.int32, (bsz**3, win_w), 1)
-    oh_u = (cols_u == ur.reshape(-1, 1)).astype(jnp.float32)
+    # A voxel whose projection falls outside the window cannot be
+    # sampled; skip its update (footprint analysis in the module doc says
+    # this never triggers at VGA/5 mm, it is a correctness guard).
+    in_bounds = (
+        in_bounds
+        & (ui >= u0) & (ui < u0 + win_w)
+        & (vi >= v0) & (vi < v0 + win_h)
+    )
+    # One-hot u-selection as a batched MXU contraction, staying 3-D:
+    #   mid[r, q, vh] = sum_w (ur[r, q] == w) * win[vh, w]
+    cols_u = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz, win_w), 2)
+    oh_u = (cols_u == ur[..., None]).astype(jnp.float32)     # [B, B*B, Ww]
     mid = jax.lax.dot_general(
         oh_u, win,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [512, win_h]
-    cols_v = lax.broadcasted_iota(jnp.int32, (bsz**3, win_h), 1)
-    oh_v = (cols_v == vr.reshape(-1, 1)).astype(jnp.float32)
-    d = jnp.sum(mid * oh_v, axis=1).reshape(1, -1)  # [1, 512]
+    )  # [B, B*B, win_h]
+    # One-hot v-selection on the VPU.
+    cols_v = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz, win_h), 2)
+    oh_v = (cols_v == vr[..., None]).astype(jnp.float32)
+    d = jnp.sum(mid * oh_v, axis=2)                          # [B, B*B]
 
     eta = d - pz
-    tsdf_old = tsdf_ref[...]
-    w_old = w_ref[...]
+    tsdf_old = tsdf_ref[0]                                   # [B, B*B]
+    w_old = w_ref[0]
     update = in_bounds & (d > 0.0) & (eta >= -mu)
     update = update & jnp.logical_or(stop_at_max < 0.5, w_old < maxw)
     new_f = jnp.maximum(jnp.minimum(1.0, eta / mu), -1.0)
     fused = (tsdf_old * w_old + new_f) / (w_old + 1.0)
     w_new = jnp.minimum(w_old + 1.0, maxw)
-    tsdf_out[...] = jnp.where(update, fused, tsdf_old)
-    w_out[...] = jnp.where(update, w_new, w_old)
+    tsdf_out[0] = jnp.where(update, fused, tsdf_old)
+    w_out[0] = jnp.where(update, w_new, w_old)
 
 
 def integrate_blocks_pallas(
@@ -172,29 +195,35 @@ def integrate_blocks_pallas(
         ]
     ).reshape(1, 24)
 
-    # Padded entries -> the sacrificial row (index cap).
+    # Padded entries -> the sacrificial row (index cap).  The pool is
+    # blocked as [1, B, B*B] per grid step: Mosaic requires the last two
+    # block dims to be (multiple of 8, multiple of 128 OR the full array
+    # dim) — (B, B*B) = (8, 64) with a 64-wide array satisfies that,
+    # while the flat (1, 512) block does not.
+    pool_shape = (cap + 1, bsz, bsz * bsz)
     slots_in = jnp.where(mask, slots, cap).astype(jnp.int32)
     tsdf_pool = jnp.concatenate(
         [m.tsdf.reshape(cap, n_vox), jnp.ones((1, n_vox), jnp.float32)],
         axis=0,
-    )
+    ).reshape(pool_shape)
     w_pool = jnp.concatenate(
         [m.weight.reshape(cap, n_vox), jnp.zeros((1, n_vox), jnp.float32)],
         axis=0,
-    )
+    ).reshape(pool_shape)
 
+    blk = (1, bsz, bsz * bsz)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(slots_in.shape[0],),
         in_specs=[
-            pl.BlockSpec((1, n_vox), lambda i, slots, coords: (slots[i], 0)),
-            pl.BlockSpec((1, n_vox), lambda i, slots, coords: (slots[i], 0)),
+            pl.BlockSpec(blk, lambda i, slots, coords: (slots[i], 0, 0)),
+            pl.BlockSpec(blk, lambda i, slots, coords: (slots[i], 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # depth
             pl.BlockSpec(memory_space=pltpu.VMEM),   # params
         ],
         out_specs=[
-            pl.BlockSpec((1, n_vox), lambda i, slots, coords: (slots[i], 0)),
-            pl.BlockSpec((1, n_vox), lambda i, slots, coords: (slots[i], 0)),
+            pl.BlockSpec(blk, lambda i, slots, coords: (slots[i], 0, 0)),
+            pl.BlockSpec(blk, lambda i, slots, coords: (slots[i], 0, 0)),
         ],
     )
 
@@ -207,12 +236,12 @@ def integrate_blocks_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((cap + 1, n_vox), jnp.float32),
-            jax.ShapeDtypeStruct((cap + 1, n_vox), jnp.float32),
+            jax.ShapeDtypeStruct(pool_shape, jnp.float32),
+            jax.ShapeDtypeStruct(pool_shape, jnp.float32),
         ),
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
-    )(slots_in, coords, tsdf_pool, w_pool, depth, params)
+    )(slots_in, coords.T, tsdf_pool, w_pool, depth, params)
 
     m = m._replace(
         tsdf=tsdf_new[:cap].reshape(m.tsdf.shape),

@@ -69,8 +69,11 @@ def splat_model_maps(
     s_max = max_surface_points
 
     safe_slots = jnp.where(mask, slots, 0)
-    tsdf_blk = m.tsdf[safe_slots]        # [V, B, B, B]
-    w_blk = m.weight[safe_slots]
+    # Fence the pool gathers: six roll taps consume tsdf_blk below, and
+    # XLA would otherwise duplicate the gather into each tap.
+    tsdf_blk, w_blk = lax.optimization_barrier(
+        (m.tsdf[safe_slots], m.weight[safe_slots])
+    )  # [V, B, B, B]
 
     # --- surface voxels + gradient (intra-block central differences;
     # one-voxel wrap at block borders — border normals are refined later
@@ -145,6 +148,9 @@ def splat_model_maps(
     points = jnp.where(hit[:, None], pts[winner], 0.0).reshape(h, w, 3)
     depth = jnp.where(hit, z[winner], 0.0).reshape(h, w)
 
+    # Fence: the point map is produced by a gather; without a barrier XLA
+    # duplicates that gather into every tap of the normal stencil.
+    points = lax.optimization_barrier(points)
     o_w = T_wc[:3, 3]
     normals = normals_from_point_map(points, o_w)
     return RaycastResult(

@@ -324,7 +324,9 @@ def raycast_blocks(
     hit = found & (w_hit > 0.0) & (t_hit > 0.0)
 
     p_w = o_w + t_hit[..., None] * dirs_w
-    points = jnp.where(hit[..., None], p_w, 0.0)
+    # Fence: t_hit is the product of the whole march; without a barrier
+    # XLA may duplicate upstream work into each tap of the normal stencil.
+    points = lax.optimization_barrier(jnp.where(hit[..., None], p_w, 0.0))
 
     from topfusion_tpu.ops.normals import normals_from_point_map
 

@@ -367,7 +367,8 @@ def raycast_dense(
     hit = found & (w_hit > 0.0) & (t_hit > 0.0)
 
     p_w = o_w + t_hit[..., None] * dirs_w
-    points = jnp.where(hit[..., None], p_w, 0.0)
+    # Fence: keeps XLA from duplicating the march into the normal stencil.
+    points = lax.optimization_barrier(jnp.where(hit[..., None], p_w, 0.0))
 
     # Normals from image-space differences of the point map (reference:
     # VisualisationEngine_Shared.hpp:205-270) — projective-TSDF gradients
