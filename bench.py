@@ -53,7 +53,12 @@ def main() -> None:
         # Full reference map capacity; visible working set sized to the
         # actual frustum band (~2-3k blocks at VGA/5mm) — gather/scatter
         # cost scales with this bound.
-        blockmap=BlockMapConfig(max_visible_blocks=1 << 12),
+        blockmap=BlockMapConfig(
+            max_visible_blocks=1 << 12,
+            # Fused Pallas integration (streams pool blocks through VMEM
+            # via scalar-prefetched index maps; no gather/scatter).
+            use_pallas_integrate=True,
+        ),
         raycast=RaycastConfig(max_steps=192),
     )
 
