@@ -12,13 +12,11 @@ gather), the surface voxels SCATTER themselves into the image:
   2. project each surface voxel onto the zero level set along the local
      SDF gradient (intra-block central differences — exact away from
      block borders), giving sub-voxel surface points;
-  3. project to pixels; z-buffering via one scatter-min of quantized
-     depth keys over a small quad footprint per splat;
-  4. the winning point is RECONSTRUCTED as pixel-ray x winning depth —
-     no gather back into the surfel array (1M+ serialized element
-     gathers on TPU), and exactly the point a raycast through that
-     pixel would return; normals from image-space differences of the
-     resulting point map (shared with the raycast path).
+  3. project to pixels; z-buffering via one scatter-min of packed
+     (depth | id) keys over a small quad footprint per splat;
+  4. winner attributes gathered back; normals from image-space
+     differences of the resulting point map (shared with the raycast
+     path).
 
 Cost is one compaction + one scatter-min + one gather over ~quarter-million
 surface voxels — versus gather work proportional to rays x steps x
@@ -124,16 +122,16 @@ def splat_model_maps(
     v = jnp.round(uv[..., 1]).astype(jnp.int32)
     ok = pvalid & (z > zmin) & (z < zmax)
 
-    # Z-buffer of quantized camera-z: scatter-min picks the nearest
-    # surfel per pixel.  24-bit quantization over the frustum -> ~0.2 um
-    # resolution; the winning point is then reconstructed from the pixel
-    # ray at that depth instead of gathered from the surfel array (a
-    # per-pixel element gather is ~20 ns on TPU; reconstruction is pure
-    # vector math and matches raycast semantics exactly).
-    qmax = (1 << 24) - 1
+    # Packed z-buffer key: depth-quantized in the high bits, surfel id in
+    # the low bits -> scatter-min picks the nearest surfel per pixel and
+    # remembers who it was.  Ties break deterministically by id.
     zq = jnp.clip(
-        ((z - zmin) / (zmax - zmin) * qmax), 0, qmax
+        ((z - zmin) / (zmax - zmin) * ((1 << _DEPTH_BITS) - 1)),
+        0,
+        (1 << _DEPTH_BITS) - 1,
     ).astype(jnp.int32)
+    ids = jnp.arange(s_max, dtype=jnp.int32)
+    key = (zq << _ID_BITS) | ids
     sentinel = jnp.iinfo(jnp.int32).max
 
     zbuf = jnp.full((h * w,), sentinel, jnp.int32)
@@ -143,34 +141,17 @@ def splat_model_maps(
             vv = v + dv
             inb = ok & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
             pix = jnp.where(inb, vv * w + uu, h * w)
-            zbuf = zbuf.at[pix].min(jnp.where(inb, zq, sentinel), mode="drop")
+            zbuf = zbuf.at[pix].min(jnp.where(inb, key, sentinel), mode="drop")
 
-    hit = (zbuf != sentinel).reshape(h, w)
-    z_win = (
-        zbuf.reshape(h, w).astype(jnp.float32) / qmax * (zmax - zmin) + zmin
-    )
-    # Pixel rays in camera space -> winning point in world space.
-    from topfusion_tpu.geometry.camera import pixel_grid
+    hit = zbuf != sentinel
+    winner = jnp.where(hit, zbuf & ((1 << _ID_BITS) - 1), 0)
+    points = jnp.where(hit[:, None], pts[winner], 0.0).reshape(h, w, 3)
+    depth = jnp.where(hit, z[winner], 0.0).reshape(h, w)
 
-    uvg = pixel_grid(cam)
-    ray = jnp.stack(
-        [
-            (uvg[..., 0] - cam.cx) / cam.fx,
-            (uvg[..., 1] - cam.cy) / cam.fy,
-            jnp.ones((h, w), jnp.float32),
-        ],
-        axis=-1,
-    )
-    p_cam = ray * z_win[..., None]
-    R = T_wc[:3, :3]
-    o_w = T_wc[:3, 3]
-    points = jnp.einsum("ij,hwj->hwi", R, p_cam) + o_w
-    points = jnp.where(hit[..., None], points, 0.0)
-    depth = jnp.where(hit, z_win, 0.0)
-
-    # Fence: keeps XLA from duplicating the reconstruction into every
-    # tap of the normal stencil.
+    # Fence: the point map is produced by a gather; without a barrier XLA
+    # duplicates that gather into every tap of the normal stencil.
     points = lax.optimization_barrier(points)
+    o_w = T_wc[:3, 3]
     normals = normals_from_point_map(points, o_w)
     return RaycastResult(
         points=points,
