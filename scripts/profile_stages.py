@@ -63,13 +63,31 @@ f_ray = jax.jit(lambda m, T: raycast_blocks(m, cam, cfg.tsdf, cfg.blockmap, cfg.
 f_resize = jax.jit(resize_points_normals)
 
 
-def timeit(name, fn, *args, n=5):
-    out = jax.block_until_ready(fn(*args))  # compile
+def _fence(out):
+    # block_until_ready does not block on the tunneled backend; a tiny
+    # D2H readback of one leaf is a true completion fence.
+    leaves = jax.tree_util.tree_leaves(out)
+    x = leaves[0]
+    np.asarray(x.reshape(-1)[0])
+    return out
+
+
+def timeit(name, fn, *args, n=10):
+    out = _fence(fn(*args))  # compile
+    # Latency: fence every call (includes ~40 ms tunnel round-trip).
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = _fence(fn(*args))
+    lat = (time.perf_counter() - t0) / 3
+    # Throughput: queue n dispatches, fence once — per-call cost is
+    # max(device time, dispatch submit cost), hiding the round-trip.
     t0 = time.perf_counter()
     for _ in range(n):
-        out = jax.block_until_ready(fn(*args))
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:28s} {dt*1e3:9.2f} ms")
+        out = fn(*args)
+    _fence(out)
+    thr = (time.perf_counter() - t0) / n
+    print(f"{name:28s} lat {lat*1e3:8.2f} ms   pipelined {thr*1e3:8.2f} ms",
+          flush=True)
     return out
 
 

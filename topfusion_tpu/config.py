@@ -170,6 +170,12 @@ class BlockMapConfig:
     # SceneReconstructionEngine.hpp:237-241; we use a fixed masked count).
     alloc_pixel_stride: int = 2
     alloc_steps: int = 8
+    # Voxel pool storage dtype.  "bfloat16" is the Voxel_s analogue
+    # (reference packs sdf into int16 + uint8 weight, VoxelTypes.hpp:69-92):
+    # it halves HBM traffic for integrate/splat/raycast.  All arithmetic
+    # stays float32; weights are exact integers in bf16 up to 256, so
+    # max_weight <= 256 loses nothing.  "float32" is the exact reference.
+    pool_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

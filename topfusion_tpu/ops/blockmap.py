@@ -48,7 +48,8 @@ class BlockMap(NamedTuple):
 
     @property
     def capacity(self) -> int:
-        return self.tsdf.shape[0]
+        # The pool carries one extra sacrificial row (see make_block_map).
+        return self.tsdf.shape[0] - 1
 
     @property
     def block_size(self) -> int:
@@ -90,16 +91,22 @@ def spatial_hash(coords: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
 
 # ----------------------------------------------------------------- ctor
 def make_block_map(
-    cfg: BlockMapConfig, ways: int = 4, dtype=jnp.float32
+    cfg: BlockMapConfig, ways: int = 4, dtype=None
 ) -> BlockMap:
     nb = cfg.capacity  # buckets == capacity with W ways -> load factor <= 1/W
     b = cfg.block_size
+    if dtype is None:
+        dtype = jnp.dtype(cfg.pool_dtype)
+    # Pool rows: capacity live slots + ONE permanent sacrificial row at
+    # index `capacity`.  Padded/invalid scatter and Pallas grid entries
+    # route there instead of forcing a full-pool copy to append it per
+    # call; it never reads back (live masks are `slot < num_blocks`).
     return BlockMap(
         bucket_keys=jnp.full((nb, ways), EMPTY_KEY, jnp.int32),
         bucket_slots=jnp.zeros((nb, ways), jnp.int32),
         block_coords=jnp.zeros((cfg.capacity, 3), jnp.int32),
-        tsdf=jnp.ones((cfg.capacity, b, b, b), dtype),
-        weight=jnp.zeros((cfg.capacity, b, b, b), dtype),
+        tsdf=jnp.ones((cfg.capacity + 1, b, b, b), dtype),
+        weight=jnp.zeros((cfg.capacity + 1, b, b, b), dtype),
         num_blocks=jnp.asarray(0, jnp.int32),
     )
 
@@ -245,8 +252,9 @@ def read_voxels_nearest(
     local = voxel_coords - block * bsz
     slot, found = lookup(m, block, bits)
     sl = jnp.where(found, slot, 0)
-    t = m.tsdf[sl, local[..., 0], local[..., 1], local[..., 2]]
-    w = m.weight[sl, local[..., 0], local[..., 1], local[..., 2]]
+    # Reads are always float32 regardless of pool storage dtype.
+    t = m.tsdf[sl, local[..., 0], local[..., 1], local[..., 2]].astype(jnp.float32)
+    w = m.weight[sl, local[..., 0], local[..., 1], local[..., 2]].astype(jnp.float32)
     return (
         jnp.where(found, t, 1.0),
         jnp.where(found, w, 0.0),
@@ -263,8 +271,8 @@ def sample_trilinear(
     p = pv - 0.5
     base = jnp.floor(p).astype(jnp.int32)
     frac = p - base
-    tsdf = jnp.zeros(pv.shape[:-1], m.tsdf.dtype)
-    wmin = jnp.full(pv.shape[:-1], jnp.inf, m.weight.dtype)
+    tsdf = jnp.zeros(pv.shape[:-1], jnp.float32)
+    wmin = jnp.full(pv.shape[:-1], jnp.inf, jnp.float32)
     for cx in (0, 1):
         for cy in (0, 1):
             for cz in (0, 1):

@@ -149,15 +149,15 @@ def _kernel(
     d = jnp.sum(mid * oh_v, axis=2)                          # [B, B*B]
 
     eta = d - pz
-    tsdf_old = tsdf_ref[0]                                   # [B, B*B]
-    w_old = w_ref[0]
+    tsdf_old = tsdf_ref[0].astype(jnp.float32)               # [B, B*B]
+    w_old = w_ref[0].astype(jnp.float32)
     update = in_bounds & (d > 0.0) & (eta >= -mu)
     update = update & jnp.logical_or(stop_at_max < 0.5, w_old < maxw)
     new_f = jnp.maximum(jnp.minimum(1.0, eta / mu), -1.0)
     fused = (tsdf_old * w_old + new_f) / (w_old + 1.0)
     w_new = jnp.minimum(w_old + 1.0, maxw)
-    tsdf_out[0] = jnp.where(update, fused, tsdf_old)
-    w_out[0] = jnp.where(update, w_new, w_old)
+    tsdf_out[0] = jnp.where(update, fused, tsdf_old).astype(tsdf_out.dtype)
+    w_out[0] = jnp.where(update, w_new, w_old).astype(w_out.dtype)
 
 
 def integrate_blocks_pallas(
@@ -174,7 +174,7 @@ def integrate_blocks_pallas(
     slots, coords, mask = vis
     bsz = bm_cfg.block_size
     n_vox = bsz**3
-    cap = m.tsdf.shape[0]
+    cap = m.capacity
     h, w = depth.shape
 
     T_cw = se3_inverse(T_wc)
@@ -195,21 +195,17 @@ def integrate_blocks_pallas(
         ]
     ).reshape(1, 24)
 
-    # Padded entries -> the sacrificial row (index cap).  The pool is
-    # blocked as [1, B, B*B] per grid step: Mosaic requires the last two
-    # block dims to be (multiple of 8, multiple of 128 OR the full array
-    # dim) — (B, B*B) = (8, 64) with a 64-wide array satisfies that,
-    # while the flat (1, 512) block does not.
+    # Padded entries -> the pool's permanent sacrificial row (index cap,
+    # see make_block_map) — no per-call concat/slice copies of the pool.
+    # The pool is blocked as [1, B, B*B] per grid step: Mosaic requires
+    # the last two block dims to be (multiple of 8, multiple of 128 OR
+    # the full array dim) — (B, B*B) = (8, 64) with a 64-wide array
+    # satisfies that, while the flat (1, 512) block does not.
     pool_shape = (cap + 1, bsz, bsz * bsz)
+    dtype = m.tsdf.dtype
     slots_in = jnp.where(mask, slots, cap).astype(jnp.int32)
-    tsdf_pool = jnp.concatenate(
-        [m.tsdf.reshape(cap, n_vox), jnp.ones((1, n_vox), jnp.float32)],
-        axis=0,
-    ).reshape(pool_shape)
-    w_pool = jnp.concatenate(
-        [m.weight.reshape(cap, n_vox), jnp.zeros((1, n_vox), jnp.float32)],
-        axis=0,
-    ).reshape(pool_shape)
+    tsdf_pool = m.tsdf.reshape(pool_shape)
+    w_pool = m.weight.reshape(pool_shape)
 
     blk = (1, bsz, bsz * bsz)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -236,15 +232,15 @@ def integrate_blocks_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(pool_shape, jnp.float32),
-            jax.ShapeDtypeStruct(pool_shape, jnp.float32),
+            jax.ShapeDtypeStruct(pool_shape, dtype),
+            jax.ShapeDtypeStruct(pool_shape, dtype),
         ),
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )(slots_in, coords.T, tsdf_pool, w_pool, depth, params)
 
     m = m._replace(
-        tsdf=tsdf_new[:cap].reshape(m.tsdf.shape),
-        weight=w_new[:cap].reshape(m.weight.shape),
+        tsdf=tsdf_new.reshape(m.tsdf.shape),
+        weight=w_new.reshape(m.weight.shape),
     )
     return m, jnp.sum(mask.astype(jnp.int32))

@@ -110,9 +110,13 @@ def extract_pointcloud_blocks(
     base = c[:, None, None, None, :] * bsz
     pw = (base + local + 0.5) * voxel
     pts, nrm, near = _surface_from_grid(
-        m.tsdf, m.weight, pw, tsdf_cfg.trunc_dist, voxel
+        m.tsdf[: m.capacity].astype(jnp.float32),
+        m.weight[: m.capacity].astype(jnp.float32),
+        pw,
+        tsdf_cfg.trunc_dist,
+        voxel,
     )
-    live = (jnp.arange(m.tsdf.shape[0]) < m.num_blocks)[:, None, None, None]
+    live = (jnp.arange(m.capacity) < m.num_blocks)[:, None, None, None]
     return _emit(pts, nrm, near & live, max_points)
 
 

@@ -72,7 +72,10 @@ def splat_model_maps(
     # Fence the pool gathers: six roll taps consume tsdf_blk below, and
     # XLA would otherwise duplicate the gather into each tap.
     tsdf_blk, w_blk = lax.optimization_barrier(
-        (m.tsdf[safe_slots], m.weight[safe_slots])
+        (
+            m.tsdf[safe_slots].astype(jnp.float32),
+            m.weight[safe_slots].astype(jnp.float32),
+        )
     )  # [V, B, B, B]
 
     # --- surface voxels + gradient (intra-block central differences;

@@ -170,8 +170,8 @@ def integrate_blocks(
     h, w = depth.shape
 
     safe_slots = jnp.where(mask, slots, 0)
-    tsdf_blk = m.tsdf[safe_slots]      # [V, B, B, B]
-    w_blk = m.weight[safe_slots]
+    tsdf_blk = m.tsdf[safe_slots].astype(jnp.float32)   # [V, B, B, B]
+    w_blk = m.weight[safe_slots].astype(jnp.float32)
 
     # World position of every voxel centre in the gathered blocks.
     lx = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 1)
@@ -206,10 +206,14 @@ def integrate_blocks(
     tsdf_out = jnp.where(update, fused, tsdf_blk)
     w_out = jnp.where(update, w_new, w_blk)
 
-    scatter_slots = jnp.where(mask, slots, m.capacity)  # OOB -> dropped
+    scatter_slots = jnp.where(mask, slots, m.capacity)  # pad -> sacrificial row
     m = m._replace(
-        tsdf=m.tsdf.at[scatter_slots].set(tsdf_out, mode="drop"),
-        weight=m.weight.at[scatter_slots].set(w_out, mode="drop"),
+        tsdf=m.tsdf.at[scatter_slots].set(
+            tsdf_out.astype(m.tsdf.dtype), mode="drop"
+        ),
+        weight=m.weight.at[scatter_slots].set(
+            w_out.astype(m.weight.dtype), mode="drop"
+        ),
     )
     return m, jnp.sum(mask.astype(jnp.int32))
 
