@@ -115,17 +115,28 @@ def downsample_depth(depth: jnp.ndarray, sigma_depth: float = 0.04) -> jnp.ndarr
     dst[y, x] = mean of the 5x5 neighbourhood of src[2y, 2x] restricted to
     valid samples within 3*sigma_depth of the centre
     (reference: imgproc.cu:98-140; centre validity added — see module doc).
+
+    Layout note: a stride-2 lane slice per tap is ~100x slower than a
+    static shift on TPU (measured ~20 ms at VGA).  The source is split
+    into its four parity planes ONCE (one reshape), after which every tap
+    ``src[2y+dy, 2x+dx]`` is a cheap static shift of one half-res plane:
+    ``dy = 2a + b`` -> plane row-parity ``b`` shifted by ``a``.
     """
     h, w = depth.shape
-    center = depth[0 : h - h % 2 : 2, 0 : w - w % 2 : 2]
+    h2, w2 = h // 2, w // 2
+    # [h2, 2, w2, 2] parity view; planes[b_y][b_x][y, x] = src[2y+b_y, 2x+b_x].
+    par = depth[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+    planes = [[par[:, by, :, bx] for bx in (0, 1)] for by in (0, 1)]
+    center = planes[0][0]
     thresh = 3.0 * sigma_depth
 
     ssum = jnp.zeros_like(center)
     scount = jnp.zeros_like(center)
     for dy in range(-2, 3):
+        ay, by = dy >> 1, dy & 1
         for dx in range(-2, 3):
-            nb_full = _shifted(depth, dy, dx)
-            nb = nb_full[0 : h - h % 2 : 2, 0 : w - w % 2 : 2]
+            ax, bx = dx >> 1, dx & 1
+            nb = _shifted(planes[by][bx], ay, ax)
             ok = (nb > 0.0) & (jnp.abs(nb - center) < thresh)
             ssum = ssum + jnp.where(ok, nb, 0.0)
             scount = scount + ok.astype(depth.dtype)

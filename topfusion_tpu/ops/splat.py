@@ -6,23 +6,29 @@ forwardProject_device, commented host side at
 VisualisationEngine_CUDA.cu:362-414).  Here it becomes the PRIMARY way to
 produce ICP model maps, because it inverts the memory-access pattern:
 instead of every ray GATHERING hundreds of voxels (TPUs have no hardware
-gather), the surface voxels SCATTER themselves into the image:
+gather), the surface voxels SCATTER themselves into the image.
+
+Pipeline (every op sized by measured v5e primitive costs — scatters cost
+~10 ns/row, batched in-block sorts and rowwise gathers are cheap):
 
   1. visible blocks -> per-voxel surface test (|tsdf|*mu < voxel, w > 0);
-  2. project each surface voxel onto the zero level set along the local
-     SDF gradient (intra-block central differences — exact away from
-     block borders), giving sub-voxel surface points;
-  3. project to pixels; z-buffering via one scatter-min of packed
-     (depth | id) keys over a small quad footprint per splat;
-  4. winner attributes gathered back; normals from image-space
-     differences of the resulting point map (shared with the raycast
-     path).
+  2. per-block top-K compaction: one BATCHED sort of packed
+     (non_surface | voxel_idx) keys along the 512-voxel axis — no global
+     scatter-compaction (a 2M-row scatter costs ~20 ms; this costs ~2 ms);
+  3. selected voxels project onto the zero level set along the local SDF
+     gradient (intra-block central differences), then into pixels;
+     z-buffering via ONE single-tap scatter-min of packed (depth | id)
+     keys;
+  4. hole closing in IMAGE space: a 3x3 min-stencil dilation of the packed
+     z-buffer (equivalent to a radius-1 splat footprint at stencil cost,
+     instead of 4x the scatter volume);
+  5. winner attributes gathered back; confidence = the winner's fusion
+     weight (matching processPixelICP's confidence channel, reference:
+     VisualisationEngine_Shared.hpp:355-397); normals from image-space
+     differences of the resulting point map (shared with raycast).
 
-Cost is one compaction + one scatter-min + one gather over ~quarter-million
-surface voxels — versus gather work proportional to rays x steps x
-hash-probes for the marching raycast.  The marching raycast
-(ops/tsdf_block.raycast_blocks) remains for display rendering and as the
-semantic reference in tests.
+The marching raycast (ops/tsdf_block.raycast_blocks) remains for display
+rendering and as the semantic reference in tests.
 """
 
 from __future__ import annotations
@@ -40,8 +46,24 @@ from topfusion_tpu.ops.blockmap import BlockMap
 from topfusion_tpu.ops.tsdf_dense import RaycastResult
 from topfusion_tpu.ops.normals import normals_from_point_map
 
-_DEPTH_BITS = 14
-_ID_BITS = 17  # up to 128k surface points
+_DEPTH_BITS = 12  # z quantization of the packed z-buffer key
+
+
+def _min_dilate(img: jnp.ndarray, fill: int) -> jnp.ndarray:
+    """3x3 min-stencil that only fills `fill` (hole) pixels."""
+    h, w = img.shape
+    out = img
+    big = jnp.asarray(fill, img.dtype)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            pad = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))]
+            nb = jnp.pad(img, pad, constant_values=fill)[
+                max(dy, 0) : max(dy, 0) + h, max(dx, 0) : max(dx, 0) + w
+            ]
+            out = jnp.minimum(out, nb)
+    return jnp.where(img != fill, img, out)
 
 
 def splat_model_maps(
@@ -51,22 +73,27 @@ def splat_model_maps(
     bm_cfg: BlockMapConfig,
     T_wc: jnp.ndarray,
     vis: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
-    max_surface_points: int = 1 << 17,
-    splat_radius: int = 1,
+    surfels_per_block: int = 128,
+    dilate_passes: int = 1,
 ) -> RaycastResult:
     """Render point/normal maps from the visible blocks by splatting.
 
     ``vis`` is the (slots, coords, mask) triple from
     ops/tsdf_block.visible_blocks (shared with integration).
-    ``splat_radius=1`` scatters each surfel over a 2x2 pixel quad, closing
-    the holes a 1-px point splat leaves at close range.
+    ``surfels_per_block`` caps surface voxels taken per 8^3 block (a plane
+    crossing a block touches ~128 voxels at the default truncation band);
+    ``dilate_passes`` 3x3 min-dilations close sub-pixel splat holes.
     """
     slots, coords, mask = vis
     bsz = bm_cfg.block_size
     voxel = tsdf_cfg.voxel_size
     mu = tsdf_cfg.trunc_dist
     h, w = cam.height, cam.width
-    s_max = max_surface_points
+    V = slots.shape[0]
+    nvox = bsz * bsz * bsz
+    K = min(surfels_per_block, nvox)
+    id_bits = max(1, (V * K - 1).bit_length())
+    assert id_bits + _DEPTH_BITS <= 31, "surfel id must fit the packed key"
 
     safe_slots = jnp.where(mask, slots, 0)
     # Fence the pool gathers: six roll taps consume tsdf_blk below, and
@@ -88,33 +115,48 @@ def splat_model_maps(
         return (fwd - bwd) * 0.5
 
     g = jnp.stack([diff(1), diff(2), diff(3)], axis=-1)   # [V,B,B,B,3]
-    gn = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    n_dir = g / jnp.maximum(gn, 1e-12)
-
+    gn2 = jnp.sum(g * g, axis=-1)
     surface = (
         (jnp.abs(tsdf_blk) * mu < voxel)
         & (w_blk > 0.0)
-        & (gn[..., 0] > 1e-6)
+        & (gn2 > 1e-12)
         & mask[:, None, None, None]
     )
 
-    # World position projected onto the zero crossing.
-    lx = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 1)
-    ly = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 2)
-    lz = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 3)
-    local = jnp.stack([lx, ly, lz], axis=-1)
-    base = coords.astype(jnp.float32)[:, None, None, None, :] * bsz
-    centers = (base + local + 0.5) * voxel
-    p_surf = centers - n_dir * (tsdf_blk * mu)[..., None]
+    # --- per-block top-K surface voxels: batched sort of packed keys
+    # (non_surface flag in the high bit -> surface voxels sort first; the
+    # voxel index rides in the low bits so no argsort payload is needed).
+    surf_flat = surface.reshape(V, nvox)
+    vox_iota = lax.broadcasted_iota(jnp.int32, (V, nvox), 1)
+    keys = jnp.where(surf_flat, vox_iota, vox_iota + nvox)
+    topk = jnp.sort(keys, axis=1)[:, :K]                  # [V, K]
+    sel_valid = topk < nvox                                # surface & selected
+    sel = jnp.where(sel_valid, topk, 0)
 
-    # --- compact surface voxels to [s_max]
-    flat_p = p_surf.reshape(-1, 3)
-    flat_m = surface.reshape(-1)
-    rank = jnp.cumsum(flat_m.astype(jnp.int32)) - 1
-    keep = flat_m & (rank < s_max)
-    sidx = jnp.where(keep, rank, s_max)
-    pts = jnp.zeros((s_max, 3), jnp.float32).at[sidx].set(flat_p, mode="drop")
-    pvalid = jnp.zeros((s_max,), bool).at[sidx].set(keep, mode="drop")
+    # Selected-voxel attributes: tsdf, gradient dir, weight via ONE rowwise
+    # take_along_axis of a channel-packed array.
+    attr = jnp.concatenate(
+        [tsdf_blk.reshape(V, nvox, 1), g.reshape(V, nvox, 3),
+         w_blk.reshape(V, nvox, 1)],
+        axis=-1,
+    )                                                      # [V, 512, 5]
+    picked = jnp.take_along_axis(attr, sel[..., None], axis=1)  # [V, K, 5]
+    t_sel = picked[..., 0]
+    g_sel = picked[..., 1:4]
+    w_sel = picked[..., 4]
+    n_dir = g_sel / jnp.maximum(
+        jnp.linalg.norm(g_sel, axis=-1, keepdims=True), 1e-12
+    )
+
+    # Voxel centre from the in-block index (pure index math, no gather),
+    # projected onto the zero crossing along the gradient.
+    lx = (sel // (bsz * bsz)).astype(jnp.float32)
+    ly = ((sel // bsz) % bsz).astype(jnp.float32)
+    lz = (sel % bsz).astype(jnp.float32)
+    local = jnp.stack([lx, ly, lz], axis=-1)               # [V, K, 3]
+    base = coords.astype(jnp.float32)[:, None, :] * bsz
+    centers = (base + local + 0.5) * voxel
+    pts = centers - n_dir * (t_sel * mu)[..., None]        # [V, K, 3]
 
     # --- project to the camera
     T_cw = se3_inverse(T_wc)
@@ -123,33 +165,50 @@ def splat_model_maps(
     zmin, zmax = tsdf_cfg.view_frustum_min, tsdf_cfg.view_frustum_max
     u = jnp.round(uv[..., 0]).astype(jnp.int32)
     v = jnp.round(uv[..., 1]).astype(jnp.int32)
-    ok = pvalid & (z > zmin) & (z < zmax)
+    ok = (
+        sel_valid
+        & (z > zmin) & (z < zmax)
+        & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    )
 
     # Packed z-buffer key: depth-quantized in the high bits, surfel id in
-    # the low bits -> scatter-min picks the nearest surfel per pixel and
-    # remembers who it was.  Ties break deterministically by id.
+    # the low bits -> ONE scatter-min picks the nearest surfel per pixel
+    # and remembers who it was.  Ties break deterministically by id.
     zq = jnp.clip(
         ((z - zmin) / (zmax - zmin) * ((1 << _DEPTH_BITS) - 1)),
         0,
         (1 << _DEPTH_BITS) - 1,
     ).astype(jnp.int32)
-    ids = jnp.arange(s_max, dtype=jnp.int32)
-    key = (zq << _ID_BITS) | ids
+    ids = lax.broadcasted_iota(jnp.int32, (V, K), 0) * K + lax.broadcasted_iota(
+        jnp.int32, (V, K), 1
+    )
+    key = (zq << id_bits) | ids
     sentinel = jnp.iinfo(jnp.int32).max
 
-    zbuf = jnp.full((h * w,), sentinel, jnp.int32)
-    for du in range(-splat_radius + 1, splat_radius + 1):
-        for dv in range(-splat_radius + 1, splat_radius + 1):
-            uu = u + du
-            vv = v + dv
-            inb = ok & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-            pix = jnp.where(inb, vv * w + uu, h * w)
-            zbuf = zbuf.at[pix].min(jnp.where(inb, key, sentinel), mode="drop")
+    pix = jnp.where(ok, v * w + u, h * w).reshape(-1)
+    zbuf = (
+        jnp.full((h * w,), sentinel, jnp.int32)
+        .at[pix]
+        .min(jnp.where(ok, key, sentinel).reshape(-1), mode="drop")
+    )
+
+    # Hole closing: image-space min-dilation of the packed keys (borrows
+    # the nearest neighbouring surfel, like a widened splat footprint).
+    zimg = zbuf.reshape(h, w)
+    for _ in range(dilate_passes):
+        zimg = _min_dilate(zimg, sentinel)
+    zbuf = zimg.reshape(-1)
 
     hit = zbuf != sentinel
-    winner = jnp.where(hit, zbuf & ((1 << _ID_BITS) - 1), 0)
-    points = jnp.where(hit[:, None], pts[winner], 0.0).reshape(h, w, 3)
-    depth = jnp.where(hit, z[winner], 0.0).reshape(h, w)
+    winner = jnp.where(hit, zbuf & ((1 << id_bits) - 1), 0)
+    # One winner-attribute gather: xyz, z, fusion weight.
+    surfel_attr = jnp.concatenate(
+        [pts.reshape(-1, 3), z.reshape(-1, 1), w_sel.reshape(-1, 1)], axis=-1
+    )
+    won = surfel_attr[winner]
+    points = jnp.where(hit[:, None], won[:, :3], 0.0).reshape(h, w, 3)
+    depth = jnp.where(hit, won[:, 3], 0.0).reshape(h, w)
+    conf = jnp.where(hit, won[:, 4], 0.0).reshape(h, w)
 
     # Fence: the point map is produced by a gather; without a barrier XLA
     # duplicates that gather into every tap of the normal stencil.
@@ -161,5 +220,5 @@ def splat_model_maps(
         normals=normals,
         hit=hit.reshape(h, w),
         depth=depth,
-        confidence=hit.reshape(h, w).astype(jnp.float32),
+        confidence=conf,
     )

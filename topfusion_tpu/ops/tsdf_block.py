@@ -69,7 +69,16 @@ def allocate_from_depth(
     bsz = bm_cfg.block_size
     block_metric = bsz * tsdf_cfg.voxel_size
 
-    d = depth[::stride, ::stride]
+    if stride > 1:
+        # Parity-reshape decimation: a stride-2 lane slice costs ~5 ms at
+        # VGA on TPU; the reshape+select is ~free (see ops/depth.py).
+        h0, w0 = depth.shape
+        hs, ws = h0 // stride, w0 // stride
+        d = depth[: hs * stride, : ws * stride].reshape(
+            hs, stride, ws, stride
+        )[:, 0, :, 0]
+    else:
+        d = depth
     uv = pixel_grid(cam)[::stride, ::stride]
     valid = (d > 0.0) & (d >= tsdf_cfg.view_frustum_min) & (d <= tsdf_cfg.view_frustum_max)
 
