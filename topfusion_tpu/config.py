@@ -94,12 +94,13 @@ class ICPConfig:
     # Bilinear (sub-pixel) gather of model maps during association; nearest
     # is 4x fewer gathers and measured accuracy-neutral on synthetic scenes.
     bilinear: bool = False
-    # Model-map gather implementation: "onehot" = banded one-hot matmul on
-    # the MXU (ops/gather_mm.py; TPUs have no hardware gather), "take" =
-    # plain XLA fancy indexing.  onehot implies nearest association and
-    # drops correspondences displaced vertically by more than
-    # onehot_v_margin pixels (projective locality bound).
-    gather_mode: str = "onehot"
+    # Model-map gather implementation: "flat" = flattened 8-channel-aligned
+    # row gather (fastest measured on v5e, exact), "onehot" = banded
+    # one-hot matmul on the MXU (ops/gather_mm.py), "take" = plain XLA
+    # fancy indexing (exact semantic reference).  onehot implies nearest
+    # association and drops correspondences displaced vertically by more
+    # than onehot_v_margin pixels (projective locality bound).
+    gather_mode: str = "flat"
     onehot_v_margin: int = 32
     # Stride over level-0 pixels when building the normal equations; the
     # 6x6 system is massively over-determined at VGA (300k rows), so a
@@ -168,8 +169,11 @@ class BlockMapConfig:
     # Allocation DDA sampling: pixel stride and fixed step count over the
     # depth+-mu segment (reference marches ceil(2|p1-p0|) steps,
     # SceneReconstructionEngine.hpp:237-241; we use a fixed masked count).
-    alloc_pixel_stride: int = 2
-    alloc_steps: int = 8
+    # Defaults give ~10 mm sample spacing at 2 m — 4x denser than the
+    # 40 mm block size — at 1/8 the candidate volume of stride 2/steps 8
+    # (the candidate sort+lookup is a top-5 per-frame cost).
+    alloc_pixel_stride: int = 4
+    alloc_steps: int = 4
     # Voxel pool storage dtype.  "bfloat16" is the Voxel_s analogue
     # (reference packs sdf into int16 + uint8 weight, VoxelTypes.hpp:69-92):
     # it halves HBM traffic for integrate/splat/raycast.  All arithmetic

@@ -129,13 +129,15 @@ class BlockPipeline:
             m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff
         )
         vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
+        fused_blocks = None
         if cfg.blockmap.use_pallas_integrate:
             from topfusion_tpu.ops.pallas.integrate_kernel import (
                 integrate_blocks_pallas,
             )
 
-            m, n_vis = integrate_blocks_pallas(
-                m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
+            m, n_vis, fused_blocks = integrate_blocks_pallas(
+                m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis,
+                return_blocks=True,
             )
         else:
             m, n_vis = integrate_blocks(
@@ -148,7 +150,8 @@ class BlockPipeline:
         # guided sphere march remains as the gather-shaped alternative.
         if cfg.raycast.model_maps == "splat":
             rc = splat_model_maps(
-                m, cam, cfg.tsdf, cfg.blockmap, T_int, vis
+                m, cam, cfg.tsdf, cfg.blockmap, T_int, vis,
+                blocks=fused_blocks,
             )
         elif cfg.raycast.guided:
             margin = cfg.icp.dist_threshold + 3.0 * cfg.tsdf.trunc_dist

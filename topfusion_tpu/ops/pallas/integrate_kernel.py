@@ -2,20 +2,23 @@
 
 The XLA formulation of integration (ops/tsdf_block.integrate_blocks) is
 three passes over the visible working set: gather pool blocks -> fuse ->
-scatter back, plus a per-voxel depth gather.  On TPU all three are
-gather/scatter-shaped (~8 ns/element — docs/PERFORMANCE.md); this kernel
-fuses the whole operation into one pass with none of them:
+scatter back, plus a per-voxel depth gather.  Row-granularity pool
+gather/scatter is CHEAP on TPU (~0.1 ns/byte for 2 KB rows, measured);
+what kills the XLA path is the per-voxel depth image gather (2M scalar
+gathers ~ 8 ns each).  So the design is:
 
-  * pool blocks stream HBM->VMEM->HBM through the Pallas pipeline with a
-    scalar-prefetched slot list driving the BlockSpec index maps, writing
-    back IN PLACE via input/output aliasing — no gather, no scatter;
+  * gather visible blocks into a contiguous ``[V, B, B*B]`` tensor with
+    one XLA row-gather, scatter back with one row-scatter (sacrificial
+    row swallows padded entries);
+  * a Pallas kernel streams the contiguous tensor through VMEM,
+    ``BLOCKS_PER_STEP`` blocks per grid step (large sequential DMAs — a
+    1-block-per-step slot-indexed BlockSpec pays ~2 us of tiny-DMA /
+    grid overhead per step, measured 8 ms at 4096 steps);
   * the depth image lives in VMEM once; each block samples it through an
-    aligned window at its projected footprint and a one-hot matmul on the
-    MXU — no per-voxel gather.  (A VGA-scale block always fits the
+    aligned window at its projected footprint and a one-hot matmul on
+    the MXU — no per-voxel gather.  (A VGA-scale block always fits the
     256-px-wide window: a 40 mm block at the 0.2 m frustum minimum spans
     fx * 0.04 / 0.2 ~ 100 px, plus <=127 px of alignment loss.)
-  * padded grid entries are routed to a sacrificial pool row (index
-    ``capacity``), so they never touch live blocks.
 
 Fusion semantics are IDENTICAL to the XLA path (same rule as
 computeUpdatedVoxelDepthInfo, reference:
@@ -40,30 +43,16 @@ from topfusion_tpu.ops.blockmap import BlockMap
 
 _WIN_H = 128   # depth window height (v); origin 8-aligned
 _WIN_W = 256   # depth window width (u); origin 128-aligned
+_BLOCKS_PER_STEP = 8
 
 
-def _kernel(
-    # scalar prefetch
-    slots_ref,      # [Vp] int32 target pool row (capacity = sacrificial)
-    coords_ref,     # [3, Vp] int32 block coords (transposed: SMEM pads the
-                    # minor dim to the lane width, so [Vp, 3] would cost
-                    # Vp*128 words)
-    # tensor inputs (blocked by the grid spec)
-    tsdf_ref,       # [1, B, B*B] f32 — this block's tsdf (x, y*B+z)
-    w_ref,          # [1, B, B*B] f32
-    depth_ref,      # [H, W] f32 (full, VMEM)
-    params_ref,     # [1, 24] f32
-    # outputs (aliases of the pool, same index map)
-    tsdf_out,
-    w_out,
-    *,
-    bsz: int,
-    h: int,
-    w: int,
-    win_h: int,
-    win_w: int,
+def _fuse_one_block(
+    coords_ref, uv0_ref, tsdf_ref, w_ref, depth_ref, params_ref,
+    tsdf_out, w_out,
+    *, g: int, bsz: int, h: int, w: int, win_h: int, win_w: int,
 ):
-    i = pl.program_id(0)
+    """Fuse depth into block ``g`` of the current grid step's slab."""
+    i = pl.program_id(0) * tsdf_ref.shape[0] + g
 
     fx = params_ref[0, 0]
     fy = params_ref[0, 1]
@@ -111,17 +100,12 @@ def _kernel(
         & (pz >= fmin) & (pz <= fmax)
     )
 
-    # Aligned depth window at the projected footprint.  The window origin
-    # must come from IN-BOUNDS voxels only: out-of-frustum voxels project
-    # to garbage coordinates and would drag the window away from the
-    # valid ones.
-    big = jnp.int32(1 << 20)
-    ui_v = jnp.where(in_bounds, ui, big)
-    vi_v = jnp.where(in_bounds, vi, big)
-    u0 = jnp.clip((jnp.min(ui_v) // 128) * 128, 0, w - win_w)
-    v0 = jnp.clip((jnp.min(vi_v) // 8) * 8, 0, h - win_h)
-    u0 = pl.multiple_of(u0, 128)
-    v0 = pl.multiple_of(v0, 8)
+    # Aligned depth window at the projected footprint.  The origin is
+    # precomputed OUTSIDE the kernel from the block's projected corners
+    # (one vectorized XLA pass over all blocks) — an in-kernel min over
+    # the voxel projections costs a scalar-unit round trip per block.
+    u0 = pl.multiple_of(uv0_ref[0, i], 128)
+    v0 = pl.multiple_of(uv0_ref[1, i], 8)
     win = depth_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
 
     ur = jnp.clip(ui - u0, 0, win_w - 1)                     # [B, B*B]
@@ -149,15 +133,90 @@ def _kernel(
     d = jnp.sum(mid * oh_v, axis=2)                          # [B, B*B]
 
     eta = d - pz
-    tsdf_old = tsdf_ref[0].astype(jnp.float32)               # [B, B*B]
-    w_old = w_ref[0].astype(jnp.float32)
+    tsdf_old = tsdf_ref[g].astype(jnp.float32)               # [B, B*B]
+    w_old = w_ref[g].astype(jnp.float32)
     update = in_bounds & (d > 0.0) & (eta >= -mu)
     update = update & jnp.logical_or(stop_at_max < 0.5, w_old < maxw)
     new_f = jnp.maximum(jnp.minimum(1.0, eta / mu), -1.0)
     fused = (tsdf_old * w_old + new_f) / (w_old + 1.0)
     w_new = jnp.minimum(w_old + 1.0, maxw)
-    tsdf_out[0] = jnp.where(update, fused, tsdf_old).astype(tsdf_out.dtype)
-    w_out[0] = jnp.where(update, w_new, w_old).astype(w_out.dtype)
+    tsdf_out[g] = jnp.where(update, fused, tsdf_old).astype(tsdf_out.dtype)
+    w_out[g] = jnp.where(update, w_new, w_old).astype(w_out.dtype)
+
+
+def _kernel(
+    coords_ref,     # scalar prefetch: [3, Vp] int32 block coords (transposed:
+                    # SMEM pads the minor dim to the lane width, so [Vp, 3]
+                    # would cost Vp*128 words)
+    uv0_ref,        # scalar prefetch: [2, Vp] int32 window origins (u0, v0)
+    tsdf_ref,       # [G, B, B*B] f32 — this step's blocks (x, y*B+z)
+    w_ref,          # [G, B, B*B] f32
+    depth_ref,      # [H, W] f32 (full, VMEM)
+    params_ref,     # [1, 24] f32
+    tsdf_out,       # [G, B, B*B]
+    w_out,
+    **kw,
+):
+    for g in range(tsdf_ref.shape[0]):
+        _fuse_one_block(
+            coords_ref, uv0_ref, tsdf_ref, w_ref, depth_ref, params_ref,
+            tsdf_out, w_out, g=g, **kw,
+        )
+
+
+def _window_origins(
+    coords: jnp.ndarray,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    block_metric: float,
+    win_h: int,
+    win_w: int,
+    h: int,
+    w: int,
+    T_cw: jnp.ndarray,
+) -> jnp.ndarray:
+    """Aligned depth-window origin per block from its 8 projected corners.
+
+    The origin must bound the projections of IN-FRUSTUM corners only:
+    behind-camera corners project to garbage and would drag the window
+    off the valid footprint.
+    """
+    from topfusion_tpu.geometry.se3 import transform_points
+    from topfusion_tpu.geometry.camera import project
+
+    corners = jnp.stack(
+        jnp.meshgrid(*([jnp.asarray([0.0, 1.0])] * 3), indexing="ij"),
+        axis=-1,
+    ).reshape(8, 3)
+    cw = (coords.astype(jnp.float32)[:, None, :] + corners[None]) * block_metric
+    cc = transform_points(T_cw, cw)
+    uvc, zc = project(cam, cc)
+    okc = zc > 1e-3
+    big = jnp.float32(1e9)
+    umin = jnp.min(jnp.where(okc, uvc[..., 0], big), axis=1)
+    vmin = jnp.min(jnp.where(okc, uvc[..., 1], big), axis=1)
+    u0 = jnp.clip((jnp.floor(umin).astype(jnp.int32) // 128) * 128, 0, w - win_w)
+    v0 = jnp.clip((jnp.floor(vmin).astype(jnp.int32) // 8) * 8, 0, h - win_h)
+    return jnp.stack([u0, v0], axis=0).astype(jnp.int32)  # [2, V]
+
+
+def gather_visible_blocks(
+    m: BlockMap, vis: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One row-gather of the visible working set: ([V,B,B*B] tsdf, weight).
+
+    Padded vis entries read the sacrificial row.  Shared by integration
+    and splatting so the pool is gathered once per frame.
+    """
+    slots, _, mask = vis
+    bsz = m.block_size
+    cap = m.capacity
+    shape3 = (cap + 1, bsz, bsz * bsz)
+    safe = jnp.where(mask, slots, cap).astype(jnp.int32)
+    return (
+        m.tsdf.reshape(shape3)[safe],
+        m.weight.reshape(shape3)[safe],
+    )
 
 
 def integrate_blocks_pallas(
@@ -169,13 +228,22 @@ def integrate_blocks_pallas(
     depth: jnp.ndarray,
     vis: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     interpret: bool = False,
-) -> Tuple[BlockMap, jnp.ndarray]:
-    """Drop-in replacement for ops/tsdf_block.integrate_blocks."""
+    return_blocks: bool = False,
+):
+    """Drop-in replacement for ops/tsdf_block.integrate_blocks.
+
+    With ``return_blocks`` also returns the fused ``[V, B, B*B]``
+    (tsdf, weight) working-set tensors so downstream consumers (splat)
+    skip their own pool gather.
+    """
     slots, coords, mask = vis
     bsz = bm_cfg.block_size
-    n_vox = bsz**3
     cap = m.capacity
     h, w = depth.shape
+    V = slots.shape[0]
+    G = _BLOCKS_PER_STEP
+    while V % G != 0:
+        G //= 2
 
     T_cw = se3_inverse(T_wc)
     params = jnp.concatenate(
@@ -195,52 +263,57 @@ def integrate_blocks_pallas(
         ]
     ).reshape(1, 24)
 
-    # Padded entries -> the pool's permanent sacrificial row (index cap,
-    # see make_block_map) — no per-call concat/slice copies of the pool.
-    # The pool is blocked as [1, B, B*B] per grid step: Mosaic requires
-    # the last two block dims to be (multiple of 8, multiple of 128 OR
-    # the full array dim) — (B, B*B) = (8, 64) with a 64-wide array
-    # satisfies that, while the flat (1, 512) block does not.
-    pool_shape = (cap + 1, bsz, bsz * bsz)
+    blk_t, blk_w = gather_visible_blocks(m, vis)
     dtype = m.tsdf.dtype
-    slots_in = jnp.where(mask, slots, cap).astype(jnp.int32)
-    tsdf_pool = m.tsdf.reshape(pool_shape)
-    w_pool = m.weight.reshape(pool_shape)
+    win_h = min(_WIN_H, h - h % 8 if h % 8 else h)
+    win_w = min(_WIN_W, w)
+    uv0 = _window_origins(
+        coords, cam, tsdf_cfg, bsz * tsdf_cfg.voxel_size,
+        win_h, win_w, h, w, T_cw,
+    )
 
-    blk = (1, bsz, bsz * bsz)
+    blk = (G, bsz, bsz * bsz)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(slots_in.shape[0],),
+        grid=(V // G,),
         in_specs=[
-            pl.BlockSpec(blk, lambda i, slots, coords: (slots[i], 0, 0)),
-            pl.BlockSpec(blk, lambda i, slots, coords: (slots[i], 0, 0)),
+            pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
+            pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # depth
             pl.BlockSpec(memory_space=pltpu.VMEM),   # params
         ],
         out_specs=[
-            pl.BlockSpec(blk, lambda i, slots, coords: (slots[i], 0, 0)),
-            pl.BlockSpec(blk, lambda i, slots, coords: (slots[i], 0, 0)),
+            pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
+            pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
         ],
     )
 
     kernel = functools.partial(
-        _kernel, bsz=bsz, h=h, w=w,
-        win_h=min(_WIN_H, h - h % 8 if h % 8 else h),
-        win_w=min(_WIN_W, w),
+        _kernel, bsz=bsz, h=h, w=w, win_h=win_h, win_w=win_w,
     )
-    tsdf_new, w_new = pl.pallas_call(
+    fused_t, fused_w = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(pool_shape, dtype),
-            jax.ShapeDtypeStruct(pool_shape, dtype),
+            jax.ShapeDtypeStruct(blk_t.shape, dtype),
+            jax.ShapeDtypeStruct(blk_w.shape, dtype),
         ),
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
-    )(slots_in, coords.T, tsdf_pool, w_pool, depth, params)
+    )(coords.T, uv0, blk_t, blk_w, depth, params)
 
+    # One row-scatter back; padded entries land on the sacrificial row.
+    shape3 = (cap + 1, bsz, bsz * bsz)
+    scatter_slots = jnp.where(mask, slots, cap)
     m = m._replace(
-        tsdf=tsdf_new.reshape(m.tsdf.shape),
-        weight=w_new.reshape(m.weight.shape),
+        tsdf=m.tsdf.reshape(shape3)
+        .at[scatter_slots].set(fused_t)
+        .reshape(m.tsdf.shape),
+        weight=m.weight.reshape(shape3)
+        .at[scatter_slots].set(fused_w)
+        .reshape(m.weight.shape),
     )
-    return m, jnp.sum(mask.astype(jnp.int32))
+    n_vis = jnp.sum(mask.astype(jnp.int32))
+    if return_blocks:
+        return m, n_vis, (fused_t, fused_w)
+    return m, n_vis

@@ -75,6 +75,7 @@ def splat_model_maps(
     vis: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     surfels_per_block: int = 128,
     dilate_passes: int = 1,
+    blocks: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> RaycastResult:
     """Render point/normal maps from the visible blocks by splatting.
 
@@ -83,6 +84,9 @@ def splat_model_maps(
     ``surfels_per_block`` caps surface voxels taken per 8^3 block (a plane
     crossing a block touches ~128 voxels at the default truncation band);
     ``dilate_passes`` 3x3 min-dilations close sub-pixel splat holes.
+    ``blocks`` optionally passes the pre-gathered visible working set
+    ``([V, ...], [V, ...])`` (tsdf, weight) — e.g. the fused output of
+    integrate_blocks_pallas — skipping the pool gather here.
     """
     slots, coords, mask = vis
     bsz = bm_cfg.block_size
@@ -95,13 +99,17 @@ def splat_model_maps(
     id_bits = max(1, (V * K - 1).bit_length())
     assert id_bits + _DEPTH_BITS <= 31, "surfel id must fit the packed key"
 
-    safe_slots = jnp.where(mask, slots, 0)
+    if blocks is None:
+        safe_slots = jnp.where(mask, slots, 0)
+        raw_blocks = (m.tsdf[safe_slots], m.weight[safe_slots])
+    else:
+        raw_blocks = blocks
     # Fence the pool gathers: six roll taps consume tsdf_blk below, and
     # XLA would otherwise duplicate the gather into each tap.
     tsdf_blk, w_blk = lax.optimization_barrier(
-        (
-            m.tsdf[safe_slots].astype(jnp.float32),
-            m.weight[safe_slots].astype(jnp.float32),
+        tuple(
+            b.reshape(V, bsz, bsz, bsz).astype(jnp.float32)
+            for b in raw_blocks
         )
     )  # [V, B, B, B]
 
