@@ -1,0 +1,122 @@
+"""Multi-host runtime: scaling harness + 2-process jax.distributed loopback.
+
+SURVEY.md section 4(d): pod behaviour is testable without TPUs via the
+single-process virtual mesh (the other tests) AND a real 2-process
+``jax.distributed`` bring-up over loopback, exercised here by spawning
+two Python subprocesses that form one 2-process CPU cluster, build a
+global mesh, and psum across process boundaries.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from topfusion_tpu.parallel.multihost import measure_scaling_block
+
+
+def test_measure_scaling_block_runs():
+    """The scaling harness runs 1/2/4/8 virtual devices and reports an
+    efficiency number (CPU-mesh timings are not the TPU numbers; this
+    guards the harness itself)."""
+    from tests.test_block_sharded import make_cfg
+
+    res = measure_scaling_block(
+        make_cfg(), n_frames=3, device_counts=(1, 2, 8), mode="weak"
+    )
+    assert res[1] > 0 and res[8] > 0
+    assert "efficiency" in res and res["efficiency"] > 0
+
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); coord = sys.argv[2]
+
+    from topfusion_tpu.parallel.multihost import initialize_multihost
+    initialize_multihost(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4  # 2 local per process
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4), ("map",))
+
+    # Each device contributes its index; psum must see all 4 devices
+    # across BOTH processes (collective rides the loopback DCN).
+    @jax.jit
+    def total():
+        zeros = jax.device_put(
+            jnp.zeros((4,), jnp.float32), NamedSharding(mesh, P("map"))
+        )
+        def body(z):
+            import jax.lax as lax
+            return z + lax.psum(lax.axis_index("map").astype(jnp.float32), "map")
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=P("map"), out_specs=P("map"),
+        )(zeros)
+
+    out = jax.jit(total)()
+    # A global array spanning both processes is not host-fetchable as a
+    # whole; check this process's addressable shards.
+    shards = [np.asarray(s.data) for s in out.addressable_shards]
+    assert len(shards) == 2, len(shards)
+    for s in shards:
+        assert np.allclose(s, 6.0), s  # 0+1+2+3 psum'd across processes
+    print(f"proc{pid} OK")
+    """
+)
+
+
+def test_two_process_loopback(tmp_path):
+    """Spawn 2 processes, form one JAX cluster over 127.0.0.1, and run a
+    cross-process psum over a 4-device global mesh."""
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), coord],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        assert f"proc{pid} OK" in out

@@ -89,6 +89,26 @@ def spatial_hash(coords: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
     return (h & (num_buckets - 1)).astype(jnp.int32)
 
 
+def _bucket_owner(
+    coords: jnp.ndarray, nb_local: int, shard
+) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
+    """(local bucket, ownership mask) for optionally sharded maps.
+
+    Sharded maps (parallel/block_sharded.py) hash into a GLOBAL bucket
+    space of ``nb_local * num_shards`` buckets; the low hash bits pick the
+    owning device, the high bits the bucket within that device's local
+    table.  ``shard = (shard_id, num_shards)`` where shard_id may be a
+    traced ``lax.axis_index``.  Unsharded maps (shard=None) use the local
+    table directly.
+    """
+    if shard is None:
+        return spatial_hash(coords, nb_local), None
+    shard_id, num_shards = shard
+    gb = spatial_hash(coords, nb_local * num_shards)
+    mine = (gb % num_shards) == shard_id
+    return gb // num_shards, mine
+
+
 # ----------------------------------------------------------------- ctor
 def make_block_map(
     cfg: BlockMapConfig, ways: int = 4, dtype=None
@@ -125,20 +145,24 @@ def reset_block_map(m: BlockMap) -> BlockMap:
 
 # ----------------------------------------------------------------- lookup
 def lookup(
-    m: BlockMap, coords: jnp.ndarray, bits: int
+    m: BlockMap, coords: jnp.ndarray, bits: int, shard=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched block lookup: coords (..., 3) -> (slot (...,), found (...,)).
 
     One gather of the W-way bucket + a vector compare; replaces the
     reference's bucket probe + excess-chain walk
-    (reference: RepresentationAccess.hpp:67-100).
+    (reference: RepresentationAccess.hpp:67-100).  With ``shard`` set,
+    coords owned by other devices report not-found (their data lives in
+    another shard's table; see parallel/block_sharded.py compositing).
     """
     key = pack_key(coords, bits)
-    b = spatial_hash(coords, m.bucket_keys.shape[0])
+    b, mine = _bucket_owner(coords, m.bucket_keys.shape[0], shard)
     ways_keys = m.bucket_keys[b]            # (..., W)
     ways_slots = m.bucket_slots[b]          # (..., W)
     match = ways_keys == key[..., None]
     found = jnp.any(match, axis=-1) & in_coord_range(coords, bits)
+    if mine is not None:
+        found = found & mine
     slot = jnp.sum(jnp.where(match, ways_slots, 0), axis=-1)
     return jnp.where(found, slot, -1), found
 
@@ -149,6 +173,7 @@ def allocate(
     cand_coords: jnp.ndarray,
     cand_valid: jnp.ndarray,
     cfg: BlockMapConfig,
+    shard=None,
 ) -> Tuple[BlockMap, jnp.ndarray]:
     """Deterministically insert new blocks for candidate coords [N, 3].
 
@@ -157,6 +182,11 @@ def allocate(
     sort -> unique -> probe -> prefix-sum rank -> scatter.  Bounded by
     ``cfg.max_new_blocks_per_frame`` and pool capacity.  Returns the new
     map and the number of blocks actually inserted.
+
+    With ``shard = (shard_id, num_shards)`` only candidates this shard
+    owns are inserted — every device runs the same allocate over the same
+    candidates and the ownership filter routes each block to exactly one
+    shard, with no communication.
     """
     bits = cfg.coord_bits
     n_max = cfg.max_new_blocks_per_frame
@@ -164,6 +194,9 @@ def allocate(
     nb = m.bucket_keys.shape[0]
 
     cand_valid = cand_valid & in_coord_range(cand_coords, bits)
+    if shard is not None:
+        _, mine = _bucket_owner(cand_coords, nb, shard)
+        cand_valid = cand_valid & mine
     keys = jnp.where(cand_valid, pack_key(cand_coords, bits), EMPTY_KEY)
 
     # Sort: duplicates adjacent, invalids at the end.
@@ -175,7 +208,7 @@ def allocate(
 
     # Membership probe against the existing table.
     coords_sorted = unpack_key(keys_sorted, bits)
-    _, exists = lookup(m, coords_sorted, bits)
+    _, exists = lookup(m, coords_sorted, bits, shard=shard)
     is_new = uniq & ~exists
 
     # Rank new keys; cap by per-frame bound and remaining capacity.
@@ -199,7 +232,8 @@ def allocate(
     # within-batch bucket rank by comparing against all previous keys'
     # buckets (n_max is small: O(n_max^2) compare is a [4096, 4096] bool
     # matmul-shaped op, cheap on TPU).
-    bucket = jnp.where(new_valid, spatial_hash(new_coords, nb), nb)  # OOB for pad
+    local_b, _ = _bucket_owner(new_coords, nb, shard)
+    bucket = jnp.where(new_valid, local_b, nb)  # OOB for pad
     prev_same = (bucket[None, :] == bucket[:, None]) & (
         jnp.arange(n_max)[None, :] < jnp.arange(n_max)[:, None]
     )
@@ -239,18 +273,20 @@ def allocate(
 
 # ----------------------------------------------------------------- voxel reads
 def read_voxels_nearest(
-    m: BlockMap, voxel_coords: jnp.ndarray, bits: int
+    m: BlockMap, voxel_coords: jnp.ndarray, bits: int, shard=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Global integer voxel coords (..., 3) -> (tsdf, weight, block_found).
 
     Unallocated space reads as free (tsdf=1, w=0) — matching
     readFromSDF_float_uninterpolated's miss semantics
-    (reference: RepresentationAccess.hpp:122-135).
+    (reference: RepresentationAccess.hpp:122-135).  On a sharded map,
+    remote blocks also read as free — callers composite across shards
+    (parallel/block_sharded.py).
     """
     bsz = m.block_size
     block = jnp.floor_divide(voxel_coords, bsz)
     local = voxel_coords - block * bsz
-    slot, found = lookup(m, block, bits)
+    slot, found = lookup(m, block, bits, shard=shard)
     sl = jnp.where(found, slot, 0)
     # Reads are always float32 regardless of pool storage dtype.
     t = m.tsdf[sl, local[..., 0], local[..., 1], local[..., 2]].astype(jnp.float32)
@@ -263,7 +299,7 @@ def read_voxels_nearest(
 
 
 def sample_trilinear(
-    m: BlockMap, pv: jnp.ndarray, bits: int
+    m: BlockMap, pv: jnp.ndarray, bits: int, shard=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trilinear (tsdf, min-weight) at fractional global voxel coords
     (reference: RepresentationAccess.hpp:137-162, crossing block borders
@@ -277,7 +313,7 @@ def sample_trilinear(
         for cy in (0, 1):
             for cz in (0, 1):
                 corner = base + jnp.asarray([cx, cy, cz])
-                t, w, _ = read_voxels_nearest(m, corner, bits)
+                t, w, _ = read_voxels_nearest(m, corner, bits, shard=shard)
                 wgt = (
                     (frac[..., 0] if cx else 1.0 - frac[..., 0])
                     * (frac[..., 1] if cy else 1.0 - frac[..., 1])

@@ -219,6 +219,7 @@ def icp_track(
     curr_normals_pyr: List[jnp.ndarray],
     model_points_pyr: List[jnp.ndarray],
     model_normals_pyr: List[jnp.ndarray],
+    axis_name: str | None = None,
 ) -> ICPResult:
     """Coarse-to-fine frame-to-model tracking.
 
@@ -226,6 +227,12 @@ def icp_track(
     from ``cfg.iters``; reference: projective_icp.cpp:177-186).  The level
     loop is a static Python loop (per-level shapes differ); iterations are
     a ``lax.fori_loop`` carrying the pose estimate.
+
+    With ``axis_name`` set, each device contributes the normal equations
+    of its own slice of current-frame rows and the 7x7 Gram matrix is
+    ``psum``-reduced before the solve — the multi-device data-parallel
+    analogue of the reference's single-GPU two-stage reduction
+    (reference: proj_icp.cu:120-403).
     """
     T_est = T_init
     ok_all = jnp.asarray(True)
@@ -255,6 +262,9 @@ def icp_track(
                 gather_mode=cfg.gather_mode,
                 onehot_v_margin=cfg.onehot_v_margin,
             )
+            if axis_name is not None:
+                G = lax.psum(G, axis_name)
+                count = lax.psum(count, axis_name)
             xi, step_ok = _solve_increment(G, count, cfg)
             T_new = se3_exp(xi) @ T
             T = jnp.where(step_ok, T_new, T)

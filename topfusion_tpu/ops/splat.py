@@ -46,7 +46,8 @@ from topfusion_tpu.ops.blockmap import BlockMap
 from topfusion_tpu.ops.tsdf_dense import RaycastResult
 from topfusion_tpu.ops.normals import normals_from_point_map
 
-_DEPTH_BITS = 12  # z quantization of the packed z-buffer key
+_MAX_DEPTH_BITS = 12   # z quantization of the packed z-buffer key
+_MIN_DEPTH_BITS = 6    # floor; at 6 bits z-fighting ties resolve by id
 
 
 def _min_dilate(img: jnp.ndarray, fill: int) -> jnp.ndarray:
@@ -76,6 +77,8 @@ def splat_model_maps(
     surfels_per_block: int = 128,
     dilate_passes: int = 1,
     blocks: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    axis_name: str | None = None,
+    num_shards: int = 1,
 ) -> RaycastResult:
     """Render point/normal maps from the visible blocks by splatting.
 
@@ -87,6 +90,14 @@ def splat_model_maps(
     ``blocks`` optionally passes the pre-gathered visible working set
     ``([V, ...], [V, ...])`` (tsdf, weight) — e.g. the fused output of
     integrate_blocks_pallas — skipping the pool gather here.
+
+    With ``axis_name``/``num_shards`` set (inside a shard_map over a
+    sharded block map, parallel/block_sharded.py), every device splats
+    its OWN blocks into a local z-buffer and the per-pixel winner is
+    composited across shards: one ``pmin`` of the packed keys (surfel
+    ids are made globally unique by interleaving the shard id), then one
+    masked ``psum`` of the winner attributes — sort-last compositing
+    instead of ghost-block halo exchange.
     """
     slots, coords, mask = vis
     bsz = bm_cfg.block_size
@@ -96,8 +107,14 @@ def splat_model_maps(
     V = slots.shape[0]
     nvox = bsz * bsz * bsz
     K = min(surfels_per_block, nvox)
-    id_bits = max(1, (V * K - 1).bit_length())
-    assert id_bits + _DEPTH_BITS <= 31, "surfel id must fit the packed key"
+    id_bits = max(1, (V * K * num_shards - 1).bit_length())
+    # Depth quantization gets whatever the 31-bit key has left (ties
+    # between equally-near surfels break deterministically by id).
+    depth_bits = min(_MAX_DEPTH_BITS, 31 - id_bits)
+    assert depth_bits >= _MIN_DEPTH_BITS, (
+        f"surfel id needs {id_bits} bits; shrink max_visible_blocks or "
+        f"surfels_per_block"
+    )
 
     if blocks is None:
         safe_slots = jnp.where(mask, slots, 0)
@@ -183,13 +200,20 @@ def splat_model_maps(
     # the low bits -> ONE scatter-min picks the nearest surfel per pixel
     # and remembers who it was.  Ties break deterministically by id.
     zq = jnp.clip(
-        ((z - zmin) / (zmax - zmin) * ((1 << _DEPTH_BITS) - 1)),
+        ((z - zmin) / (zmax - zmin) * ((1 << depth_bits) - 1)),
         0,
-        (1 << _DEPTH_BITS) - 1,
+        (1 << depth_bits) - 1,
     ).astype(jnp.int32)
-    ids = lax.broadcasted_iota(jnp.int32, (V, K), 0) * K + lax.broadcasted_iota(
+    lids = lax.broadcasted_iota(jnp.int32, (V, K), 0) * K + lax.broadcasted_iota(
         jnp.int32, (V, K), 1
     )
+    if axis_name is not None:
+        # Globally unique surfel id: interleave the shard id so pmin ties
+        # are impossible and ownership is decodable (gid % ns == shard).
+        sid = lax.axis_index(axis_name)
+        ids = lids * num_shards + sid
+    else:
+        ids = lids
     key = (zq << id_bits) | ids
     sentinel = jnp.iinfo(jnp.int32).max
 
@@ -200,6 +224,10 @@ def splat_model_maps(
         .min(jnp.where(ok, key, sentinel).reshape(-1), mode="drop")
     )
 
+    if axis_name is not None:
+        # Sort-last compositing: nearest surfel across all shards.
+        zbuf = lax.pmin(zbuf, axis_name)
+
     # Hole closing: image-space min-dilation of the packed keys (borrows
     # the nearest neighbouring surfel, like a widened splat footprint).
     zimg = zbuf.reshape(h, w)
@@ -208,12 +236,18 @@ def splat_model_maps(
     zbuf = zimg.reshape(-1)
 
     hit = zbuf != sentinel
-    winner = jnp.where(hit, zbuf & ((1 << id_bits) - 1), 0)
+    gid = jnp.where(hit, zbuf & ((1 << id_bits) - 1), 0)
     # One winner-attribute gather: xyz, z, fusion weight.
     surfel_attr = jnp.concatenate(
         [pts.reshape(-1, 3), z.reshape(-1, 1), w_sel.reshape(-1, 1)], axis=-1
     )
-    won = surfel_attr[winner]
+    if axis_name is not None:
+        mine = hit & ((gid % num_shards) == sid)
+        won = surfel_attr[jnp.where(mine, gid // num_shards, 0)]
+        won = jnp.where(mine[:, None], won, 0.0)
+        won = lax.psum(won, axis_name)
+    else:
+        won = surfel_attr[gid]
     points = jnp.where(hit[:, None], won[:, :3], 0.0).reshape(h, w, 3)
     depth = jnp.where(hit, won[:, 3], 0.0).reshape(h, w)
     conf = jnp.where(hit, won[:, 4], 0.0).reshape(h, w)

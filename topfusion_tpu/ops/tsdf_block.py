@@ -54,6 +54,7 @@ def allocate_from_depth(
     bm_cfg: BlockMapConfig,
     T_wc: jnp.ndarray,
     depth: jnp.ndarray,
+    shard=None,
 ) -> Tuple[BlockMap, jnp.ndarray]:
     """Mark-and-insert blocks intersecting the depth+-mu band.
 
@@ -99,7 +100,7 @@ def allocate_from_depth(
 
     cand = coords.reshape(-1, 3)
     cand_valid = jnp.broadcast_to(valid[..., None], lam.shape).reshape(-1)
-    return allocate(m, cand, cand_valid, bm_cfg)
+    return allocate(m, cand, cand_valid, bm_cfg, shard=shard)
 
 
 # ----------------------------------------------------------------- visibility
@@ -238,6 +239,8 @@ def raycast_blocks(
     expected_depth: jnp.ndarray | None = None,
     depth_margin: float = 0.16,
     max_steps: int | None = None,
+    shard=None,
+    weight_gate: str = "trilinear",
 ) -> RaycastResult:
     """Sphere-trace every pixel through the sparse map.
 
@@ -300,7 +303,7 @@ def raycast_blocks(
         t, prev_sdf, prev_t, t_hit, alive, found = carry
         pv = to_voxel(t)
         vox = jnp.floor(pv).astype(jnp.int32)
-        sdf, _wt, blk_found = read_voxels_nearest(m, vox, bits)
+        sdf, _wt, blk_found = read_voxels_nearest(m, vox, bits, shard=shard)
         crossing = alive & blk_found & (prev_sdf > 0.0) & (sdf <= 0.0)
         denom = jnp.where(jnp.abs(prev_sdf - sdf) > 1e-12, prev_sdf - sdf, 1.0)
         t_cross = prev_t + (t - prev_t) * (prev_sdf / denom)
@@ -328,12 +331,20 @@ def raycast_blocks(
     _, _, _, t_hit, _, found = lax.fori_loop(0, n_steps, body, init)
 
     def refine(_, t):
-        sdf_tri, _ = sample_trilinear(m, to_voxel(t), bits)
+        sdf_tri, _ = sample_trilinear(m, to_voxel(t), bits, shard=shard)
         return t + sdf_tri * mu / dir_norm
 
     t_hit = lax.fori_loop(0, ray_cfg.refine_steps, refine, t_hit)
 
-    _, w_hit = sample_trilinear(m, to_voxel(t_hit), bits)
+    if weight_gate == "nearest":
+        # Sharded maps gate on the nearest voxel's weight: the trilinear
+        # min-weight stencil straddles block borders, and a remote
+        # neighbour block would read weight 0 and spuriously reject the
+        # hit (parallel/block_sharded.py composites per-shard results).
+        vox_hit = jnp.floor(to_voxel(t_hit)).astype(jnp.int32)
+        _, w_hit, _ = read_voxels_nearest(m, vox_hit, bits, shard=shard)
+    else:
+        _, w_hit = sample_trilinear(m, to_voxel(t_hit), bits, shard=shard)
     hit = found & (w_hit > 0.0) & (t_hit > 0.0)
 
     p_w = o_w + t_hit[..., None] * dirs_w

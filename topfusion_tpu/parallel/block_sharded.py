@@ -1,0 +1,353 @@
+"""Multi-chip sharded execution of the FLAGSHIP block-sparse pipeline.
+
+The reference caps at one GPU (its hash table and voxel pool are single
+-device by construction, reference:
+tfusion/include/tfusion/cuda/VoxelBlockHash.hpp:10-27).  Here the voxel
+block map is partitioned over the mesh's ``map`` axis with a TPU-native
+ownership + compositing design:
+
+  * **Ownership by hash**: block coords hash into a global bucket space;
+    the low hash bits name the owning device, the high bits the bucket
+    in that device's local table (ops/blockmap._bucket_owner).  Hashing
+    balances pool occupancy across shards to ~sqrt fluctuations.
+  * **Allocation without communication**: every device runs the same
+    deterministic candidate pass over the (replicated) depth image and
+    inserts only the blocks it owns.
+  * **Integration without communication**: each device fuses its own
+    visible blocks; voxel updates never cross shards.
+  * **Sort-last compositing instead of halo exchange**: model-map
+    splatting and display raycast run shard-locally, then per-pixel
+    winners are composited with one ``pmin`` of packed (depth | surfel
+    id) keys + one masked ``psum`` of winner attributes (ops/splat.py),
+    or a ``pmin`` of hit distances (raycast).  Image-sized collectives
+    are shape-static and ride ICI; ghost-block lists would be dynamic
+    and data-dependent.
+  * **Tracking is data-parallel**: current-frame rows are sliced per
+    device and the 7x7 ICP Gram matrix is ``psum``-reduced per iteration
+    (ops/icp.py axis_name) — 196 bytes of traffic per ICP iteration.
+
+Per-frame collective traffic is ~7 MB at VGA (one int32 key image + one
+5-channel f32 attribute image + the Gram psums), independent of map
+size; all map-sized state stays shard-local.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from topfusion_tpu.config import PipelineConfig
+from topfusion_tpu.models.block_pipeline import BlockState, BlockStepAux
+from topfusion_tpu.ops.blockmap import BlockMap, make_block_map, reset_block_map
+from topfusion_tpu.ops.depth import preprocess_depth
+from topfusion_tpu.ops.normals import build_maps_pyramid, resize_points_normals
+from topfusion_tpu.ops.icp import icp_track
+from topfusion_tpu.ops.rendering import phong_shade
+from topfusion_tpu.ops.splat import splat_model_maps
+from topfusion_tpu.ops.tsdf_block import (
+    allocate_from_depth,
+    visible_blocks,
+    integrate_blocks,
+    raycast_blocks,
+)
+
+AXIS = "map"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _shard_cfg(cfg: PipelineConfig, ns: int) -> PipelineConfig:
+    """Per-device (local) capacities: the GLOBAL capacity splits evenly."""
+    import dataclasses
+
+    bm = cfg.blockmap
+    assert bm.capacity % ns == 0 and bm.max_visible_blocks % ns == 0
+    return dataclasses.replace(
+        cfg,
+        blockmap=dataclasses.replace(
+            bm,
+            capacity=bm.capacity // ns,
+            max_visible_blocks=max(bm.max_visible_blocks // ns, 8),
+            max_new_blocks_per_frame=max(bm.max_new_blocks_per_frame // ns, 64),
+        ),
+    )
+
+
+class ShardedBlockPipeline:
+    """BlockPipeline with the map sharded over ``mesh``'s ``map`` axis.
+
+    The public surface mirrors models/block_pipeline.BlockPipeline:
+    ``init() -> BlockState`` (leaves carry NamedShardings) and
+    ``step(state, depth_mm) -> (state, aux)`` compiled once over the
+    mesh.  BASELINE.md configs 4-5.
+    """
+
+    def __init__(self, cfg: PipelineConfig, mesh: Mesh, axis: str = AXIS):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        self.ns = mesh.shape[axis]
+        self.local_cfg = _shard_cfg(cfg, self.ns)
+
+        shd = lambda *spec: NamedSharding(mesh, P(*spec))
+        rep = shd()
+        self._map_shardings = BlockMap(
+            bucket_keys=shd(axis, None),
+            bucket_slots=shd(axis, None),
+            block_coords=shd(axis, None),
+            tsdf=shd(axis, None, None, None),
+            weight=shd(axis, None, None, None),
+            num_blocks=shd(axis),
+        )
+        n_levels = cfg.preproc.pyramid_levels
+        self._state_shardings = BlockState(
+            *self._map_shardings,
+            T_wc=rep,
+            model_points=tuple(rep for _ in range(n_levels)),
+            model_normals=tuple(rep for _ in range(n_levels)),
+            frame=rep,
+            resets=rep,
+        )
+
+        specs = jax.tree.map(lambda s: s.spec, self._state_shardings,
+                             is_leaf=lambda x: isinstance(x, NamedSharding))
+        self._step_sm = jax.shard_map(
+            self._step_local,
+            mesh=mesh,
+            in_specs=(specs, P()),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        self.step = jax.jit(self._step_sm)
+        self.render = jax.jit(
+            jax.shard_map(
+                self._render_local,
+                mesh=mesh,
+                in_specs=(specs,),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def init(self) -> BlockState:
+        cfg = self.cfg
+        cam = cfg.camera
+        # Global map arrays = ns stacked local maps (leading dim sharded).
+        m_local = make_block_map(self.local_cfg.blockmap)
+        ns = self.ns
+
+        def tile(a):
+            return jnp.concatenate([a] * ns, axis=0)
+
+        m = BlockMap(
+            bucket_keys=tile(m_local.bucket_keys),
+            bucket_slots=tile(m_local.bucket_slots),
+            block_coords=tile(m_local.block_coords),
+            tsdf=tile(m_local.tsdf),
+            weight=tile(m_local.weight),
+            num_blocks=jnp.zeros((ns,), jnp.int32),
+        )
+        mp, mn = [], []
+        for level in range(cfg.preproc.pyramid_levels):
+            cl = cam.at_level(level)
+            mp.append(jnp.zeros((cl.height, cl.width, 3), jnp.float32))
+            mn.append(jnp.zeros((cl.height, cl.width, 3), jnp.float32))
+        state = BlockState(
+            *m,
+            T_wc=jnp.eye(4, dtype=jnp.float32),
+            model_points=tuple(mp),
+            model_normals=tuple(mn),
+            frame=jnp.asarray(0, jnp.int32),
+            resets=jnp.asarray(0, jnp.int32),
+        )
+        return jax.device_put(state, self._state_shardings)
+
+    # ------------------------------------------------------------------
+    def _local_map(self, state: BlockState) -> BlockMap:
+        return BlockMap(
+            bucket_keys=state.bucket_keys,
+            bucket_slots=state.bucket_slots,
+            block_coords=state.block_coords,
+            tsdf=state.tsdf,
+            weight=state.weight,
+            num_blocks=state.num_blocks.reshape(())[()],
+        )
+
+    # ------------------------------------------------------------------
+    def _step_local(
+        self, state: BlockState, depth_mm: jnp.ndarray
+    ) -> Tuple[BlockState, BlockStepAux]:
+        """Per-device body (runs under shard_map; arrays are local)."""
+        cfg = self.local_cfg
+        cam = cfg.camera
+        axis = self.axis
+        ns = self.ns
+        sid = lax.axis_index(axis)
+        shard = (sid, ns)
+
+        # Replicated frontend (identical on every device).
+        raw_m, depth_pyr = preprocess_depth(depth_mm, cfg.preproc)
+        cur_pts, cur_nrm = build_maps_pyramid(cam, depth_pyr)
+
+        # Data-parallel ICP: this device contributes its slice of rows.
+        def rows(a):
+            h = a.shape[0]
+            hl = h // ns
+            return lax.dynamic_slice_in_dim(a, sid * hl, hl, axis=0)
+
+        is_first = state.frame == 0
+        icp = icp_track(
+            cam,
+            cfg.icp,
+            state.T_wc,
+            state.T_wc,
+            [rows(p) for p in cur_pts],
+            [rows(n) for n in cur_nrm],
+            list(state.model_points),
+            list(state.model_normals),
+            axis_name=axis,
+        )
+        ok = icp.ok | is_first
+        T_new = jnp.where(is_first, state.T_wc, icp.T_wc)
+
+        do_reset = (~ok) & bool(cfg.reset_on_failure)
+        T_int = jnp.where(do_reset, jnp.eye(4, dtype=jnp.float32), T_new)
+        m = self._local_map(state)
+        m_clean = reset_block_map(m)
+        m = jax.tree.map(lambda a, b: jnp.where(do_reset, b, a), m, m_clean)
+        raw_eff = jnp.where(do_reset, 0.0, raw_m)
+
+        # Shard-local allocation (ownership-filtered) + integration.
+        m, n_alloc = allocate_from_depth(
+            m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, shard=shard
+        )
+        vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
+        m, n_vis = integrate_blocks(
+            m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
+        )
+
+        # Model maps: shard-local splat + sort-last compositing.
+        rc = splat_model_maps(
+            m, cam, cfg.tsdf, cfg.blockmap, T_int, vis,
+            axis_name=axis, num_shards=ns,
+        )
+        mp = [rc.points]
+        mn = [rc.normals]
+        for _ in range(cfg.preproc.pyramid_levels - 1):
+            p, n = lax.optimization_barrier(
+                resize_points_normals(mp[-1], mn[-1])
+            )
+            mp.append(p)
+            mn.append(n)
+
+        new_state = BlockState(
+            bucket_keys=m.bucket_keys,
+            bucket_slots=m.bucket_slots,
+            block_coords=m.block_coords,
+            tsdf=m.tsdf,
+            weight=m.weight,
+            num_blocks=m.num_blocks.reshape(1),
+            T_wc=T_int,
+            model_points=tuple(mp),
+            model_normals=tuple(mn),
+            frame=jnp.where(do_reset, 0, state.frame + 1),
+            resets=state.resets + do_reset.astype(jnp.int32),
+        )
+        aux = BlockStepAux(
+            ok=ok,
+            residual=icp.residual,
+            num_inliers=icp.num_inliers,
+            was_reset=do_reset,
+            num_blocks=lax.psum(m.num_blocks, axis),
+            blocks_allocated=lax.psum(n_alloc, axis),
+            num_visible=lax.psum(n_vis, axis),
+        )
+        return new_state, aux
+
+    # ------------------------------------------------------------------
+    def _render_local(self, state: BlockState) -> jnp.ndarray:
+        """Display raycast: shard-local march + pmin depth compositing."""
+        cfg = self.local_cfg
+        axis = self.axis
+        sid = lax.axis_index(axis)
+        shard = (sid, self.ns)
+        m = self._local_map(state)
+        rc = raycast_blocks(
+            m, cfg.camera, cfg.tsdf, cfg.blockmap, cfg.raycast, state.T_wc,
+            shard=shard, weight_gate="nearest",
+        )
+        # Composite: nearest hit across shards wins.
+        big = jnp.float32(1e9)
+        t_local = jnp.where(rc.hit, rc.depth, big)
+        t_global = lax.pmin(t_local, axis)
+        hit = t_global < big
+        mine = hit & (t_local == t_global)
+        points = lax.psum(jnp.where(mine[..., None], rc.points, 0.0), axis)
+        from topfusion_tpu.ops.normals import normals_from_point_map
+
+        points = lax.optimization_barrier(points)
+        normals = normals_from_point_map(points, state.T_wc[:3, 3])
+        light = state.T_wc[:3, 3] + jnp.asarray([0.0, -1.0, -1.0])
+        return phong_shade(points, normals, light, state.T_wc[:3, 3])
+
+
+# ----------------------------------------------------------------------
+def dryrun_sharded_block_step(n_devices: int) -> None:
+    """Driver hook: n-device mesh, jit the FULL block-sparse fusion step
+    with real map sharding (ownership, psum'd ICP, composited splat),
+    execute steps on tiny shapes, verify tracking holds."""
+    import dataclasses
+
+    from topfusion_tpu.config import (
+        BlockMapConfig,
+        CameraConfig,
+        ICPConfig,
+        PipelineConfig,
+        PreprocConfig,
+        RaycastConfig,
+        TSDFConfig,
+    )
+    from topfusion_tpu.io.synthetic import SyntheticScene
+
+    assert len(jax.devices()) >= n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}"
+    )
+    mesh = make_mesh(n_devices)
+
+    cam = CameraConfig(width=64, height=48, fx=48.0, fy=48.0, cx=32.0, cy=24.0)
+    cfg = PipelineConfig(
+        camera=cam,
+        preproc=PreprocConfig(bilateral_kernel_size=3, pyramid_levels=2),
+        icp=ICPConfig(iters=(2, 2), level0_stride=1),
+        tsdf=TSDFConfig(voxel_size=0.01, trunc_dist=0.04),
+        blockmap=BlockMapConfig(
+            capacity=512 * n_devices,
+            max_new_blocks_per_frame=256 * n_devices,
+            max_visible_blocks=256 * n_devices,
+            alloc_pixel_stride=1,
+        ),
+        raycast=RaycastConfig(max_steps=48),
+    )
+
+    pipe = ShardedBlockPipeline(cfg, mesh)
+    state = pipe.init()
+    depth = SyntheticScene().render_depth_mm(cam, jnp.eye(4))
+
+    # Two steps: frame-0 bootstrap, then full ICP+alloc+integrate+splat.
+    state, aux = pipe.step(state, depth)
+    state, aux = pipe.step(state, depth)
+    img = pipe.render(state)
+    jax.block_until_ready((state.tsdf, img))
+    assert int(state.frame) == 2
+    assert bool(aux.ok), "sharded block step lost tracking on a static frame"
+    assert int(aux.num_blocks) > 0
