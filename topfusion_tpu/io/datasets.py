@@ -49,6 +49,23 @@ def _read_depth_png(path: str, units_per_meter: float) -> np.ndarray:
     return np.clip(np.round(mm), 0, 65535).astype(np.uint16)
 
 
+def _read_camera_file(root: str) -> Optional[CameraConfig]:
+    """Optional ``camera.txt`` (w h fx fy cx cy) in the sequence dir.
+
+    Real TUM sequences carry no such file (the published fr1 intrinsics
+    apply); synthetic TUM-format sequences written by
+    scripts/make_synthetic_dataset.py record their camera here.
+    """
+    path = os.path.join(root, "camera.txt")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        vals = f.read().split()
+    w, h = int(vals[0]), int(vals[1])
+    fx, fy, cx, cy = (float(v) for v in vals[2:6])
+    return CameraConfig(width=w, height=h, fx=fx, fy=fy, cx=cx, cy=cy)
+
+
 def _parse_tum_list(path: str) -> List[Tuple[float, str]]:
     out = []
     with open(path) as f:
@@ -70,7 +87,7 @@ class TUMSequence:
 
     def __init__(self, root: str, with_rgb: bool = False):
         self.root = root
-        self.camera = TUM_FR1_CAMERA
+        self.camera = _read_camera_file(root) or TUM_FR1_CAMERA
         self.depth_list = _parse_tum_list(os.path.join(root, "depth.txt"))
         self.rgb_list = (
             _parse_tum_list(os.path.join(root, "rgb.txt"))
