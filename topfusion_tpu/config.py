@@ -199,6 +199,11 @@ class RaycastConfig:
     # Expected-depth min/max image subsample factor
     # (reference: VisualisationEngine_Shared.hpp:7 minmaximg_subsample = 8).
     range_subsample: int = 8
+    # Step bound for free-view raycasts driven by the expected-depth
+    # range image (ops/tsdf_block.expected_depth_ranges): rays only march
+    # the occupied [zmin, zmax] band of their cell, so far fewer lockstep
+    # steps cover it than the full-frustum max_steps.
+    ranged_max_steps: int = 64
     # Step length multipliers in voxel units (reference: topfu.cpp:41-44
     # raycast_step_factor; castRay steps max(sdf*mu/voxel, 1)).
     min_step_voxels: float = 1.0

@@ -26,6 +26,7 @@ from topfusion_tpu.ops.tsdf_block import (
     visible_blocks,
     integrate_blocks,
     raycast_blocks,
+    expected_depth_ranges,
 )
 from topfusion_tpu.ops.splat import splat_model_maps
 
@@ -196,26 +197,37 @@ class BlockPipeline:
         return new_state, aux
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=0)
-    def render(self, state: BlockState) -> jnp.ndarray:
+    def _free_view_raycast(self, state: BlockState, T_wc: jnp.ndarray):
+        """Raycast from an arbitrary pose, accelerated by expected-depth
+        ranges (reference: CreateExpectedDepths before every RenderImage,
+        topfu.cpp:306 + VisualisationEngine_CUDA.cu:119-173)."""
         cfg = self.cfg
-        rc = raycast_blocks(
-            state.block_map(), cfg.camera, cfg.tsdf, cfg.blockmap,
-            cfg.raycast, state.T_wc,
+        m = state.block_map()
+        vis = visible_blocks(m, cfg.camera, cfg.tsdf, cfg.blockmap, T_wc)
+        ranges = expected_depth_ranges(
+            m, cfg.camera, cfg.tsdf, cfg.blockmap, T_wc, vis,
+            subsample=cfg.raycast.range_subsample,
         )
-        light = state.T_wc[:3, 3] + jnp.asarray([0.0, -1.0, -1.0])
-        return phong_shade(rc.points, rc.normals, light, state.T_wc[:3, 3])
+        return raycast_blocks(
+            m, cfg.camera, cfg.tsdf, cfg.blockmap, cfg.raycast, T_wc,
+            range_image=ranges,
+            max_steps=cfg.raycast.ranged_max_steps,
+        )
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def render(self, state: BlockState, T_wc: jnp.ndarray | None = None) -> jnp.ndarray:
+        T = state.T_wc if T_wc is None else T_wc
+        rc = self._free_view_raycast(state, T)
+        light = T[:3, 3] + jnp.asarray([0.0, -1.0, -1.0])
+        return phong_shade(rc.points, rc.normals, light, T[:3, 3])
 
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def render_normals(self, state: BlockState) -> jnp.ndarray:
         # RENDER_COLOUR_FROM_NORMAL analogue
         # (reference: VisualisationEngine.hpp render types).
-        cfg = self.cfg
-        rc = raycast_blocks(
-            state.block_map(), cfg.camera, cfg.tsdf, cfg.blockmap,
-            cfg.raycast, state.T_wc,
-        )
+        rc = self._free_view_raycast(state, state.T_wc)
         return render_normals_rgb(rc.normals)
 
     # ------------------------------------------------------------------
@@ -225,10 +237,7 @@ class BlockPipeline:
         # (confident) -> red (fresh), reference pixel shader
         # VisualisationEngine_Shared.hpp:272-498 drawPixelConfidence.
         cfg = self.cfg
-        rc = raycast_blocks(
-            state.block_map(), cfg.camera, cfg.tsdf, cfg.blockmap,
-            cfg.raycast, state.T_wc,
-        )
+        rc = self._free_view_raycast(state, state.T_wc)
         c = jnp.clip(rc.confidence / cfg.tsdf.max_weight, 0.0, 1.0)
         rgb = jnp.stack([1.0 - c, c, jnp.zeros_like(c)], axis=-1)
         rgb = jnp.where(rc.hit[..., None], rgb, 0.0)

@@ -228,6 +228,105 @@ def integrate_blocks(
     return m, jnp.sum(mask.astype(jnp.int32))
 
 
+# ----------------------------------------------------------------- ranges
+def expected_depth_ranges(
+    m: BlockMap,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    bm_cfg: BlockMapConfig,
+    T_wc: jnp.ndarray,
+    vis: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    subsample: int = 8,
+    chunk: int = 1024,
+) -> jnp.ndarray:
+    """Per-pixel raycast depth bounds from the visible blocks.
+
+    The TPU-native CreateExpectedDepths (reference:
+    VisualisationEngine_CUDA.cu:119-173, VisualisationHelper.cu:52-121):
+    the reference splits each projected block bbox into 16x16
+    RenderingBlocks and rasterizes zmin/zmax with float atomicMin/Max
+    into a 1/8-subsampled minmax image.  Here the minmax image is built
+    the gather way: every coarse cell reduces min/max depth over the
+    visible blocks whose projected bbox covers it — a fused
+    [cells, chunk] masked reduction per block chunk instead of
+    data-dependent scatter volumes (scatter-shaped rasterization costs
+    ~10 ns/row; the fused compare-reduce streams at vector-unit speed
+    and its cost is occupancy-independent).
+
+    Returns ``[ceil(h/sub), ceil(w/sub), 2]`` float32 (zmin, zmax) in
+    camera-z meters.  Cells no block projects to carry
+    (frustum_max, frustum_min) — an empty band that kills the ray
+    immediately in :func:`raycast_blocks`.
+    """
+    slots, coords, mask = vis
+    bsz = bm_cfg.block_size
+    block_metric = bsz * tsdf_cfg.voxel_size
+    h, w = cam.height, cam.width
+    sub = subsample
+    ch, cw = -(-h // sub), -(-w // sub)
+    V = slots.shape[0]
+    fmin, fmax = tsdf_cfg.view_frustum_min, tsdf_cfg.view_frustum_max
+
+    # 8 corners of every visible block, in camera space.
+    offs = jnp.asarray(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+        jnp.float32,
+    )  # [8, 3]
+    corners_w = (coords.astype(jnp.float32)[:, None, :] + offs) * block_metric
+    T_cw = se3_inverse(T_wc)
+    pc = transform_points(T_cw, corners_w)                   # [V, 8, 3]
+    zc = pc[..., 2]
+    # A corner at/behind the image plane makes the projected bbox
+    # unbounded; cover the full image for such blocks (conservative,
+    # rare: only blocks the camera is inside of).
+    near = 0.5 * fmin
+    degenerate = jnp.any(zc < near, axis=1)
+    uv, _ = project(cam, pc)
+    u, v = uv[..., 0], uv[..., 1]
+    cu0 = jnp.floor(jnp.min(u, axis=1) / sub).astype(jnp.int32)
+    cu1 = jnp.floor(jnp.max(u, axis=1) / sub).astype(jnp.int32)
+    cv0 = jnp.floor(jnp.min(v, axis=1) / sub).astype(jnp.int32)
+    cv1 = jnp.floor(jnp.max(v, axis=1) / sub).astype(jnp.int32)
+    cu0 = jnp.where(degenerate, 0, jnp.clip(cu0, 0, cw - 1))
+    cu1 = jnp.where(degenerate, cw - 1, jnp.clip(cu1, 0, cw - 1))
+    cv0 = jnp.where(degenerate, 0, jnp.clip(cv0, 0, ch - 1))
+    cv1 = jnp.where(degenerate, ch - 1, jnp.clip(cv1, 0, ch - 1))
+    bz0 = jnp.maximum(jnp.min(zc, axis=1), fmin)
+    bz1 = jnp.minimum(jnp.max(zc, axis=1), fmax)
+
+    ci = lax.broadcasted_iota(jnp.int32, (ch, cw, 1), 0)
+    cj = lax.broadcasted_iota(jnp.int32, (ch, cw, 1), 1)
+
+    n_chunks = -(-V // chunk)
+    pad = n_chunks * chunk - V
+    def pad_to(x, fill):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+            n_chunks, chunk
+        )
+    xs = (
+        pad_to(cu0, 0), pad_to(cu1, -1), pad_to(cv0, 0), pad_to(cv1, -1),
+        pad_to(bz0, fmax), pad_to(bz1, fmin),
+        pad_to(mask, False),
+    )
+
+    def body(carry, x):
+        zlo, zhi = carry
+        u0, u1, v0, v1, z0, z1, mk = x
+        cover = (
+            (ci >= v0) & (ci <= v1) & (cj >= u0) & (cj <= u1) & mk
+        )  # [ch, cw, chunk]
+        zlo = jnp.minimum(zlo, jnp.min(jnp.where(cover, z0, fmax), axis=-1))
+        zhi = jnp.maximum(zhi, jnp.max(jnp.where(cover, z1, fmin), axis=-1))
+        return (zlo, zhi), None
+
+    init = (
+        jnp.full((ch, cw), fmax, jnp.float32),
+        jnp.full((ch, cw), fmin, jnp.float32),
+    )
+    (zlo, zhi), _ = lax.scan(body, init, xs)
+    return jnp.stack([zlo, zhi], axis=-1)
+
+
 # ----------------------------------------------------------------- raycast
 def raycast_blocks(
     m: BlockMap,
@@ -241,6 +340,8 @@ def raycast_blocks(
     max_steps: int | None = None,
     shard=None,
     weight_gate: str = "trilinear",
+    range_image: jnp.ndarray | None = None,
+    range_subsample: int | None = None,
 ) -> RaycastResult:
     """Sphere-trace every pixel through the sparse map.
 
@@ -259,6 +360,13 @@ def raycast_blocks(
     pass a small ``max_steps`` with it; pixels without valid expected
     depth fall back to the full range and may not finish (they produce no
     ICP correspondences anyway — gates require current-frame validity).
+
+    ``range_image`` is the free-view analogue: the ``[h/sub, w/sub, 2]``
+    (zmin, zmax) minmax image from :func:`expected_depth_ranges`
+    (reference: castRay reads the 1/8-subsampled
+    renderingRangeImage, VisualisationEngine_Shared.hpp:99-113).  Rays
+    start at their cell's zmin and die past zmax, so ``max_steps`` only
+    has to cover the occupied band, not the whole frustum.
     """
     h, w = cam.height, cam.width
     mu = tsdf_cfg.trunc_dist
@@ -282,6 +390,21 @@ def raycast_blocks(
 
     t_min = jnp.full((h, w), tsdf_cfg.view_frustum_min, jnp.float32)
     t_max = jnp.full((h, w), tsdf_cfg.view_frustum_max, jnp.float32)
+    if range_image is not None:
+        sub = range_subsample or ray_cfg.range_subsample
+        ch, cw = range_image.shape[:2]
+        # Nearest upsample by broadcast-reshape (no strided lane ops).
+        full = jnp.broadcast_to(
+            range_image[:, None, :, None, :], (ch, sub, cw, sub, 2)
+        ).reshape(ch * sub, cw * sub, 2)[:h, :w]
+        zlo, zhi = full[..., 0], full[..., 1]
+        # One-voxel slack: trilinear refinement may probe just outside
+        # the corner-derived bounds.
+        t_min = jnp.maximum(t_min, zlo - voxel)
+        t_max = jnp.minimum(t_max, zhi + voxel)
+        # Empty cells carry zlo > zhi; pin them to an immediately-dead
+        # band with finite arithmetic.
+        t_min = jnp.minimum(t_min, t_max)
     if expected_depth is not None:
         dvalid = expected_depth > 0.0
         t_min = jnp.where(
