@@ -63,6 +63,73 @@ def test_color_fusion_and_render():
     assert bot[:, 1].mean() > bot[:, 0].mean() + 30
 
 
+def make_block_cfg():
+    import dataclasses
+    from topfusion_tpu.config import BlockMapConfig
+
+    cfg = make_cfg()
+    return dataclasses.replace(
+        cfg,
+        blockmap=BlockMapConfig(
+            capacity=1 << 13,
+            max_new_blocks_per_frame=2048,
+            max_visible_blocks=1 << 12,
+            alloc_pixel_stride=1,
+            alloc_steps=6,
+        ),
+    )
+
+
+def test_block_color_fusion_and_render():
+    # Hashed-map color variant (reference: Voxel_s_rgb applies to the live
+    # hashed scene, VoxelTypes.hpp:8-67) — mirrors the dense test above.
+    from topfusion_tpu.models.block_pipeline import BlockPipeline
+
+    cfg = make_block_cfg()
+    scene = SyntheticScene()
+    pipe = BlockPipeline(cfg)
+    state = pipe.init()
+    assert state.color.shape[0] == cfg.blockmap.capacity + 1
+
+    depth = scene.render_depth_mm(cfg.camera, jnp.eye(4))
+    h, w = cfg.camera.shape
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[: h // 2, :, 0] = 220
+    rgb[h // 2 :, :, 1] = 220
+    rgb = jnp.asarray(rgb)
+
+    for _ in range(3):
+        state, aux = pipe.step_rgb(state, depth, rgb)
+        assert bool(aux.ok)
+
+    assert float(jnp.abs(state.color).max()) > 0.5
+
+    img = np.asarray(pipe.render_color(state))
+    assert img.shape == (h, w, 3) and img.dtype == np.uint8
+    lit = img.sum(axis=-1) > 30
+    top = img[: h // 2][lit[: h // 2]]
+    bot = img[h // 2 :][lit[h // 2 :]]
+    assert len(top) > 50 and len(bot) > 50
+    assert top[:, 0].mean() > top[:, 1].mean() + 30
+    assert bot[:, 1].mean() > bot[:, 0].mean() + 30
+
+
+def test_block_color_disabled_dummy():
+    import dataclasses
+    from topfusion_tpu.models.block_pipeline import BlockPipeline
+
+    cfg = make_block_cfg()
+    cfg = dataclasses.replace(
+        cfg, tsdf=dataclasses.replace(cfg.tsdf, use_color=False)
+    )
+    pipe = BlockPipeline(cfg)
+    state = pipe.init()
+    assert state.color.shape == (1, 1, 1, 1, 3)
+    depth = SyntheticScene().render_depth_mm(cfg.camera, jnp.eye(4))
+    state, aux = pipe.step(state, depth)
+    assert bool(aux.ok)
+
+
 def test_color_disabled_dummy():
     cfg = make_cfg()
     cfg = dataclasses.replace(

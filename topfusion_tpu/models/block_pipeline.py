@@ -25,6 +25,7 @@ from topfusion_tpu.ops.tsdf_block import (
     allocate_from_depth,
     visible_blocks,
     integrate_blocks,
+    integrate_color_blocks,
     raycast_blocks,
     expected_depth_ranges,
 )
@@ -38,6 +39,7 @@ class BlockState(NamedTuple):
     tsdf: jnp.ndarray
     weight: jnp.ndarray
     num_blocks: jnp.ndarray
+    color: jnp.ndarray          # [C+1,B,B,B,3] or [1,1,1,1,3] dummy
     T_wc: jnp.ndarray
     model_points: Tuple[jnp.ndarray, ...]
     model_normals: Tuple[jnp.ndarray, ...]
@@ -52,6 +54,7 @@ class BlockState(NamedTuple):
             tsdf=self.tsdf,
             weight=self.weight,
             num_blocks=self.num_blocks,
+            color=self.color,
         )
 
 
@@ -71,10 +74,11 @@ class BlockPipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.step = jax.jit(self._step)
+        self.step_rgb = jax.jit(self._step_rgb)
 
     def init(self) -> BlockState:
         cfg = self.cfg
-        m = make_block_map(cfg.blockmap)
+        m = make_block_map(cfg.blockmap, use_color=cfg.tsdf.use_color)
         cam = cfg.camera
         mp, mn = [], []
         for level in range(cfg.preproc.pyramid_levels):
@@ -91,8 +95,20 @@ class BlockPipeline:
         )
 
     # ------------------------------------------------------------------
+    def _step_rgb(
+        self, state: BlockState, depth_mm: jnp.ndarray, rgb: jnp.ndarray
+    ) -> Tuple[BlockState, BlockStepAux]:
+        # Fusion step that also fuses color into the hashed map
+        # (cfg.tsdf.use_color must be on; the hashed-map analogue of the
+        # Voxel_s_rgb trait, reference: VoxelTypes.hpp:8-67).
+        return self._step(state, depth_mm, rgb)
+
+    # ------------------------------------------------------------------
     def _step(
-        self, state: BlockState, depth_mm: jnp.ndarray
+        self,
+        state: BlockState,
+        depth_mm: jnp.ndarray,
+        rgb: jnp.ndarray | None = None,
     ) -> Tuple[BlockState, BlockStepAux]:
         cfg = self.cfg
         cam = cfg.camera
@@ -143,6 +159,10 @@ class BlockPipeline:
         else:
             m, n_vis = integrate_blocks(
                 m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
+            )
+        if cfg.tsdf.use_color and rgb is not None:
+            m = integrate_color_blocks(
+                m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, rgb, vis
             )
 
         # Model maps for the next frame (reference: topfu.cpp:306-309
@@ -242,3 +262,20 @@ class BlockPipeline:
         rgb = jnp.stack([1.0 - c, c, jnp.zeros_like(c)], axis=-1)
         rgb = jnp.where(rc.hit[..., None], rgb, 0.0)
         return (rgb * 255.0).astype(jnp.uint8)
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def render_color(self, state: BlockState) -> jnp.ndarray:
+        # RENDER_COLOUR_FROM_VOLUME analogue on the hashed map
+        # (reference: VisualisationEngine.hpp render types +
+        # VoxelColorReader, RepresentationAccess.hpp:455-474).
+        from topfusion_tpu.ops.blockmap import read_color_nearest
+
+        cfg = self.cfg
+        rc = self._free_view_raycast(state, state.T_wc)
+        vox = jnp.floor(rc.points / cfg.tsdf.voxel_size).astype(jnp.int32)
+        c = read_color_nearest(
+            state.block_map(), vox, cfg.blockmap.coord_bits
+        )
+        img = jnp.where(rc.hit[..., None], c, 0.0)
+        return jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.uint8)

@@ -45,6 +45,11 @@ class BlockMap(NamedTuple):
     tsdf: jnp.ndarray           # [C, B, B, B] float32
     weight: jnp.ndarray         # [C, B, B, B] float32
     num_blocks: jnp.ndarray     # () int32
+    # RGB in [0, 1], [C, B, B, B, 3] when color fusion is on (the hashed-map
+    # analogue of the reference's Voxel_s_rgb trait variant,
+    # VoxelTypes.hpp:8-67), else a [1, 1, 1, 1, 3] dummy so the pytree
+    # structure is config-independent (mirrors ops/tsdf_dense.make_color_volume).
+    color: jnp.ndarray
 
     @property
     def capacity(self) -> int:
@@ -111,7 +116,7 @@ def _bucket_owner(
 
 # ----------------------------------------------------------------- ctor
 def make_block_map(
-    cfg: BlockMapConfig, ways: int = 4, dtype=None
+    cfg: BlockMapConfig, ways: int = 4, dtype=None, use_color: bool = False
 ) -> BlockMap:
     nb = cfg.capacity  # buckets == capacity with W ways -> load factor <= 1/W
     b = cfg.block_size
@@ -121,6 +126,9 @@ def make_block_map(
     # index `capacity`.  Padded/invalid scatter and Pallas grid entries
     # route there instead of forcing a full-pool copy to append it per
     # call; it never reads back (live masks are `slot < num_blocks`).
+    color_shape = (
+        (cfg.capacity + 1, b, b, b, 3) if use_color else (1, 1, 1, 1, 3)
+    )
     return BlockMap(
         bucket_keys=jnp.full((nb, ways), EMPTY_KEY, jnp.int32),
         bucket_slots=jnp.zeros((nb, ways), jnp.int32),
@@ -128,6 +136,7 @@ def make_block_map(
         tsdf=jnp.ones((cfg.capacity + 1, b, b, b), dtype),
         weight=jnp.zeros((cfg.capacity + 1, b, b, b), dtype),
         num_blocks=jnp.asarray(0, jnp.int32),
+        color=jnp.zeros(color_shape, dtype),
     )
 
 
@@ -140,6 +149,7 @@ def reset_block_map(m: BlockMap) -> BlockMap:
         tsdf=jnp.ones_like(m.tsdf),
         weight=jnp.zeros_like(m.weight),
         num_blocks=jnp.zeros_like(m.num_blocks),
+        color=jnp.zeros_like(m.color),
     )
 
 
@@ -266,6 +276,7 @@ def allocate(
             tsdf=m.tsdf,
             weight=m.weight,
             num_blocks=m.num_blocks + n_inserted,
+            color=m.color,
         ),
         n_inserted,
     )
@@ -296,6 +307,30 @@ def read_voxels_nearest(
         jnp.where(found, w, 0.0),
         found,
     )
+
+
+def read_color_nearest(
+    m: BlockMap, voxel_coords: jnp.ndarray, bits: int, shard=None
+) -> jnp.ndarray:
+    """Global integer voxel coords (..., 3) -> RGB in [0, 1].
+
+    Nearest-voxel color read on the hashed map (the block-path analogue
+    of VoxelColorReader, reference: RepresentationAccess.hpp:455-474);
+    unallocated space reads black.  Requires a map built with
+    ``use_color=True`` (otherwise the dummy pool reads all-zero).
+    """
+    bsz = m.block_size
+    block = jnp.floor_divide(voxel_coords, bsz)
+    local = voxel_coords - block * bsz
+    slot, found = lookup(m, block, bits, shard=shard)
+    has_color = m.color.shape[0] > 1
+    if not has_color:
+        return jnp.zeros(voxel_coords.shape[:-1] + (3,), jnp.float32)
+    sl = jnp.where(found, slot, 0)
+    c = m.color[sl, local[..., 0], local[..., 1], local[..., 2]].astype(
+        jnp.float32
+    )
+    return jnp.where(found[..., None], c, 0.0)
 
 
 def sample_trilinear(

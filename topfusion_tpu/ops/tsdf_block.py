@@ -228,6 +228,75 @@ def integrate_blocks(
     return m, jnp.sum(mask.astype(jnp.int32))
 
 
+# ----------------------------------------------------------------- color
+def integrate_color_blocks(
+    m: BlockMap,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    bm_cfg: BlockMapConfig,
+    T_wc: jnp.ndarray,
+    depth: jnp.ndarray,
+    rgb: jnp.ndarray,
+    vis: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+) -> BlockMap:
+    """Fuse an RGB image into the visible blocks' color pool.
+
+    Running average with the fusion weights; only voxels within mu/4 of
+    the observed surface take color (mirrors computeUpdatedVoxelColorInfo's
+    tighter band, reference: SceneReconstructionEngine.hpp:116-148 and the
+    eta > -mu*0.25 gate at :161-176; same rule as the dense path,
+    ops/tsdf_dense.integrate_color_dense).  A separate gather/fuse/scatter
+    pass so the depth integrator (XLA or Pallas) stays color-agnostic.
+    """
+    slots, coords, mask = vis
+    bsz = bm_cfg.block_size
+    mu = tsdf_cfg.trunc_dist
+    voxel = tsdf_cfg.voxel_size
+    h, w = depth.shape
+
+    safe_slots = jnp.where(mask, slots, 0)
+    w_blk = m.weight[safe_slots].astype(jnp.float32)
+    c_blk = m.color[safe_slots].astype(jnp.float32)  # [V, B, B, B, 3]
+
+    lx = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 1)
+    ly = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 2)
+    lz = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 3)
+    local = jnp.stack([lx, ly, lz], axis=-1)
+    base = coords.astype(jnp.float32)[:, None, None, None, :] * bsz
+    pw = (base + local + 0.5) * voxel
+
+    T_cw = se3_inverse(T_wc)
+    pc = transform_points(T_cw, pw)
+    uv, z = project(cam, pc)
+    u = jnp.round(uv[..., 0]).astype(jnp.int32)
+    v = jnp.round(uv[..., 1]).astype(jnp.int32)
+    in_bounds = (
+        (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        & (z >= tsdf_cfg.view_frustum_min) & (z <= tsdf_cfg.view_frustum_max)
+    )
+    uc = jnp.clip(u, 0, w - 1)
+    vc = jnp.clip(v, 0, h - 1)
+    d = depth[vc, uc]
+    c_obs = rgb[vc, uc].astype(jnp.float32)
+    if rgb.dtype == jnp.uint8:
+        c_obs = c_obs / 255.0
+
+    eta = d - z
+    update = (
+        in_bounds & (d > 0.0) & (jnp.abs(eta) < mu * 0.25)
+        & mask[:, None, None, None]
+    )
+    fused = (c_blk * w_blk[..., None] + c_obs) / (w_blk[..., None] + 1.0)
+    c_out = jnp.where(update[..., None], fused, c_blk)
+
+    scatter_slots = jnp.where(mask, slots, m.capacity)
+    return m._replace(
+        color=m.color.at[scatter_slots].set(
+            c_out.astype(m.color.dtype), mode="drop"
+        )
+    )
+
+
 # ----------------------------------------------------------------- ranges
 def expected_depth_ranges(
     m: BlockMap,

@@ -107,6 +107,10 @@ class ShardedBlockPipeline:
             tsdf=shd(axis, None, None, None),
             weight=shd(axis, None, None, None),
             num_blocks=shd(axis),
+            # Color pool shards like the voxel pool when enabled; the
+            # [1,1,1,1,3] dummy (color off) must stay replicated.
+            color=shd(axis, None, None, None, None)
+            if cfg.tsdf.use_color else rep,
         )
         n_levels = cfg.preproc.pyramid_levels
         self._state_shardings = BlockState(
@@ -143,7 +147,9 @@ class ShardedBlockPipeline:
         cfg = self.cfg
         cam = cfg.camera
         # Global map arrays = ns stacked local maps (leading dim sharded).
-        m_local = make_block_map(self.local_cfg.blockmap)
+        m_local = make_block_map(
+            self.local_cfg.blockmap, use_color=cfg.tsdf.use_color
+        )
         ns = self.ns
 
         def tile(a):
@@ -156,6 +162,7 @@ class ShardedBlockPipeline:
             tsdf=tile(m_local.tsdf),
             weight=tile(m_local.weight),
             num_blocks=jnp.zeros((ns,), jnp.int32),
+            color=tile(m_local.color) if cfg.tsdf.use_color else m_local.color,
         )
         mp, mn = [], []
         for level in range(cfg.preproc.pyramid_levels):
@@ -181,6 +188,7 @@ class ShardedBlockPipeline:
             tsdf=state.tsdf,
             weight=state.weight,
             num_blocks=state.num_blocks.reshape(())[()],
+            color=state.color,
         )
 
     # ------------------------------------------------------------------
@@ -257,6 +265,7 @@ class ShardedBlockPipeline:
             tsdf=m.tsdf,
             weight=m.weight,
             num_blocks=m.num_blocks.reshape(1),
+            color=m.color,
             T_wc=T_int,
             model_points=tuple(mp),
             model_normals=tuple(mn),
