@@ -230,6 +230,12 @@ class PoseGraphConfig:
     gn_iters: int = 10
     damping: float = 1e-5
     huber_delta: float = 0.1
+    # Normal-equation solver: "pcg" = matrix-free preconditioned CG on the
+    # block-sparse H (cost linear in #edges, scales to K >= 512; the
+    # Schur-style scalable path), "dense" = explicit [6K, 6K] solve
+    # (exact reference semantics, fine at K <= 256).
+    solver: str = "pcg"
+    cg_iters: int = 48
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,15 +1,24 @@
 """Distributed pose-graph bundle adjustment over a device mesh.
 
-The reduction structure mirrors distributed Schur-style BA: edges (the
-"observations") are sharded across the mesh's ``ba`` axis; each device
-builds the normal-equation contributions of its edge shard; one ``psum``
-reduces H and b over ICI; the (small, dense) solve is replicated.  This is
-the collective pattern BASELINE.json mandates (psum/all_gather reductions
-over keyframe Hessian blocks) — the reference has no optimizer or
-communication at all (SURVEY.md section 2.2).
+Schur-style scalable structure: edges (the "observations") are sharded
+across the mesh's ``ba`` axis; each device linearizes only its edge shard
+(per-edge 6x6 Jacobian blocks, models/posegraph.edge_jacobians) and the
+normal equations are solved matrix-free with block-Jacobi preconditioned
+CG (models/posegraph._pcg_solve).  The Hessian is NEVER materialized —
+the only collectives are keyframe-sized:
 
-Single-device semantics are identical to models/posegraph.optimize (tested
-for agreement on a virtual CPU mesh).
+  * one psum of a [K, 6] vector per CG iteration (the Hvp partial sums),
+  * one psum of [K, 6, 6] diagonal blocks per GN iteration (the
+    preconditioner) and one of [K, 6] (the gradient).
+
+At K=512 that is 12 KB per CG step vs the 9.4 MB [6K, 6K] dense H the
+round-1 design replicated; per-device compute is O(E / n_devices).  This
+is the psum-reduction-over-keyframe-Hessian-blocks pattern BASELINE.json
+mandates — the reference has no optimizer or communication at all
+(SURVEY.md section 2.2).
+
+Single-device semantics are identical to models/posegraph.optimize
+(agreement-tested on the virtual CPU mesh, tests/test_parallel.py).
 """
 
 from __future__ import annotations
@@ -21,45 +30,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from topfusion_tpu.config import PoseGraphConfig
-from topfusion_tpu.geometry.se3 import se3_exp, se3_log, se3_inverse
-from topfusion_tpu.models.posegraph import PoseGraph, _huber_weights
-
-
-def _shard_residuals(
-    twists: jnp.ndarray,
-    kf_poses: jnp.ndarray,
-    edge_i: jnp.ndarray,
-    edge_j: jnp.ndarray,
-    edge_T: jnp.ndarray,
-    edge_valid: jnp.ndarray,
-) -> jnp.ndarray:
-    """Residuals [e_local, 6] of one edge shard against the full
-    (replicated) pose set."""
-    poses = se3_exp(twists) @ kf_poses
-    Ti = poses[edge_i]
-    Tj = poses[edge_j]
-    rel = se3_inverse(Ti) @ Tj
-    r = se3_log(se3_inverse(edge_T) @ rel)
-    return jnp.where(edge_valid[:, None], r, 0.0)
+from topfusion_tpu.geometry.se3 import se3_exp, se3_inverse
+from topfusion_tpu.models.posegraph import (
+    PoseGraph,
+    _huber_weights,
+    _pcg_solve,
+    edge_jacobians,
+    edge_residuals,
+)
 
 
 def optimize_distributed(
     pg: PoseGraph, cfg: PoseGraphConfig, mesh: Mesh, axis: str = "ba"
 ) -> Tuple[PoseGraph, jnp.ndarray]:
-    """Gauss-Newton over keyframe poses with edge-sharded H/b assembly.
+    """Gauss-Newton over keyframe poses with edge-sharded linearization.
 
     Edges are padded to a multiple of the mesh size and distributed; the
-    whole GN loop runs inside one ``shard_map`` so per-iteration traffic
-    is exactly one psum of (H [6K, 6K], b [6K]).
+    whole GN+PCG loop runs inside one ``shard_map``, so poses stay
+    replicated (they advance identically everywhere — psums are
+    deterministic) and per-iteration traffic is keyframe-sized.
     """
     n_dev = mesh.shape[axis]
     k_cap = pg.kf_poses.shape[0]
     e_cap = pg.edge_i.shape[0]
-    n_params = 6 * k_cap
 
     e_pad = ((e_cap + n_dev - 1) // n_dev) * n_dev
 
@@ -75,9 +72,7 @@ def optimize_distributed(
                             (e_pad - e_cap, 4, 4))],
         axis=0,
     )
-    edge_valid = pad(
-        jnp.arange(e_cap) < pg.num_edges
-    )
+    edge_valid = pad(jnp.arange(e_cap) < pg.num_edges)
     edge_weight = pad(pg.edge_weight)
 
     espec = P(axis)
@@ -86,39 +81,29 @@ def optimize_distributed(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(espec, espec, (P(axis, None, None)), espec, espec, rspec),
+        in_specs=(espec, espec, P(axis, None, None), espec, espec, rspec),
         out_specs=rspec,
     )
     def run(ei, ej, eT, ev, ew, kf_poses):
-        def gn_step(_, twists):
-            flat = lambda t: _shard_residuals(
-                t, kf_poses, ei, ej, eT, ev
-            ).reshape(-1)
-            r = flat(twists)
-            J = jax.jacfwd(flat)(twists).reshape(-1, n_params)
-            w = jnp.repeat(
-                _huber_weights(r.reshape(-1, 6), cfg.huber_delta) * ew, 6
+        def gn_step(_, poses):
+            r, A, B = edge_jacobians(poses, ei, ej, eT)
+            we = (
+                _huber_weights(r, cfg.huber_delta)
+                * ew
+                * ev.astype(jnp.float32)
             )
-            Jw = J * w[:, None]
-            H = lax.psum(Jw.T @ J, axis)
-            b = lax.psum(Jw.T @ r, axis)
-            mask = jnp.concatenate([jnp.zeros(6), jnp.ones(n_params - 6)])
-            H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
-            b = b * mask
-            H = H + cfg.damping * jnp.eye(n_params)
-            dx = jnp.linalg.solve(H, -b)
-            dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
-            return twists + dx.reshape(k_cap, 6)
+            dx = _pcg_solve(
+                A, B, r, we, ei, ej, k_cap,
+                cfg.damping, cfg.cg_iters, axis_name=axis,
+            )
+            return se3_exp(dx) @ poses
 
-        twists0 = jnp.zeros((k_cap, 6), jnp.float32)
-        return lax.fori_loop(0, cfg.gn_iters, gn_step, twists0)
+        return lax.fori_loop(0, cfg.gn_iters, gn_step, kf_poses)
 
-    twists = run(edge_i, edge_j, edge_T, edge_valid, edge_weight, pg.kf_poses)
+    new_poses = run(edge_i, edge_j, edge_T, edge_valid, edge_weight,
+                    pg.kf_poses)
 
-    new_poses = se3_exp(twists) @ pg.kf_poses
     live = (jnp.arange(k_cap) < pg.num_kf)[:, None, None]
     pg = pg._replace(kf_poses=jnp.where(live, new_poses, pg.kf_poses))
-    from topfusion_tpu.models.posegraph import edge_residuals
-
     chi2 = jnp.sum(edge_residuals(jnp.zeros((k_cap, 6)), pg) ** 2)
     return pg, chi2
