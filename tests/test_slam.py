@@ -72,6 +72,62 @@ def test_slam_closes_loop_and_improves():
     assert opt < odom * 1.5 + 1e-3
 
 
+def test_map_correction_after_loop():
+    """Post-loop render must be consistent with the OPTIMIZED trajectory:
+    after a closure, the map is re-fused at the optimized keyframe poses
+    and the live pose re-anchors (PoseGraphConfig.map_correction)."""
+    import dataclasses
+
+    from topfusion_tpu.ops.tsdf_block import raycast_blocks
+
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        posegraph=dataclasses.replace(
+            cfg.posegraph, min_map_correction=0.0  # any correction triggers
+        ),
+    )
+    scene = SyntheticScene()
+    gt = out_and_back(15)
+    slam = SlamSystem(cfg)
+    for T in gt:
+        d = scene.render_depth_mm(cfg.camera, jnp.asarray(T, jnp.float32))
+        info = slam.process_frame(d)
+        assert info["ok"]
+    assert slam.loops_closed >= 1
+    assert slam.reintegrations >= 1, "loop closure must trigger re-fusion"
+
+    # The rebuilt map, raycast from the corrected live pose, must
+    # reproduce the scene depth rendered at the matching ground-truth
+    # viewpoint (out-and-back ends where it started: identity).
+    opt_traj = slam.optimized_trajectory()
+    T_live = jnp.asarray(opt_traj[-1], jnp.float32)
+    rc = raycast_blocks(
+        slam.state.block_map(), cfg.camera, cfg.tsdf, cfg.blockmap,
+        cfg.raycast, jnp.asarray(np.asarray(slam.state.T_wc)),
+    )
+    d_scene = (
+        np.asarray(
+            scene.render_depth_mm(cfg.camera, T_live), np.float32
+        )
+        / 1000.0
+    )
+    d_map = np.asarray(rc.depth)
+    both = (d_map > 0) & (d_scene > 0) & np.asarray(rc.hit)
+    assert both.mean() > 0.5
+    dd = np.abs(d_map - d_scene)[both]
+    assert np.median(dd) < 3 * cfg.tsdf.voxel_size, (
+        f"post-loop map inconsistent with optimized trajectory: "
+        f"median depth error {np.median(dd)*1000:.1f} mm"
+    )
+
+    # Tracking continues seamlessly in the corrected frame.
+    for T in out_and_back(15)[-3:]:
+        d = scene.render_depth_mm(cfg.camera, jnp.asarray(T, jnp.float32))
+        info = slam.process_frame(d)
+        assert info["ok"], "tracking lost after re-integration"
+
+
 def test_slam_trajectory_lengths():
     cfg = make_cfg()
     scene = SyntheticScene()

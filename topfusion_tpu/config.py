@@ -236,6 +236,18 @@ class PoseGraphConfig:
     # (exact reference semantics, fine at K <= 256).
     solver: str = "pcg"
     cg_iters: int = 48
+    # What happens to the TSDF map after a loop closure moves the
+    # keyframes: "reintegrate" = wipe the map and re-fuse the stored
+    # keyframe depths at their OPTIMIZED poses (InfiniTAM-v3-style global
+    # re-integration; the live pose and model maps re-anchor into the
+    # corrected frame, so fusion and the optimized trajectory stay
+    # consistent), "none" = map keeps raw odometry, only the exported
+    # trajectory is corrected.
+    map_correction: str = "reintegrate"
+    # Minimum translation correction (meters) of the newest keyframe that
+    # triggers a re-integration; smaller corrections are absorbed by the
+    # TSDF truncation band anyway.
+    min_map_correction: float = 0.01
 
 
 @dataclasses.dataclass(frozen=True)
