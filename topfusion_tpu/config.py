@@ -227,6 +227,12 @@ class PoseGraphConfig:
     loop_edge_weight: float = 0.25
     loop_candidate_window: int = 5             # recent kfs excluded from loops
     loop_max_dist: float = 0.5                 # meters between kf positions
+    # Number of nearest candidate keyframes ICP-verified per loop check
+    # (vmapped — constant compile cost); the best verified candidate by
+    # inlier count wins.  Revisits at different viewing angles often fail
+    # verification against the single nearest keyframe but pass against
+    # the 2nd-4th nearest.
+    loop_candidates: int = 4
     gn_iters: int = 10
     damping: float = 1e-5
     huber_delta: float = 0.1

@@ -115,17 +115,22 @@ def detect_loop(
 ) -> Tuple[PoseGraph, jnp.ndarray]:
     """Try to close a loop for the NEWEST keyframe.
 
-    Candidate = nearest older keyframe outside the recency window within
-    ``loop_max_dist``; verification = short coarse-level ICP between the
-    two keyframes' stored maps.  Constant compile-time cost; the edge is
-    inserted under a mask.  Returns (graph, loop_found).
+    Candidates = the ``loop_candidates`` nearest older keyframes outside
+    the recency window within ``loop_max_dist``; verification = a short
+    coarse-level ICP between the keyframes' stored maps, vmapped over all
+    candidates at once (constant compile-time cost).  The best verified
+    candidate by inlier count wins; the edge is inserted under a mask.
+    Multi-candidate checking catches revisits at viewing angles where the
+    single nearest keyframe fails ICP verification.  Returns
+    (graph, loop_found).
     """
     k_cap = pg.kf_poses.shape[0]
     e_cap = pg.edge_i.shape[0]
+    n_cand = min(pg_cfg.loop_candidates, k_cap)
     cur = jnp.maximum(pg.num_kf - 1, 0)
     cur_pose = pg.kf_poses[cur]
 
-    # Candidate selection by camera-centre distance.
+    # Candidate selection by camera-centre distance: N nearest eligible.
     centers = pg.kf_poses[:, :3, 3]
     d = jnp.linalg.norm(centers - cur_pose[:3, 3], axis=-1)
     eligible = (
@@ -133,43 +138,47 @@ def detect_loop(
         & (d <= pg_cfg.loop_max_dist)
     )
     d_masked = jnp.where(eligible, d, jnp.inf)
-    cand = jnp.argmin(d_masked)
-    has_cand = jnp.isfinite(d_masked[cand])
+    neg_d, cand_ids = lax.top_k(-d_masked, n_cand)
+    cand_has = jnp.isfinite(-neg_d)
 
-    # Verify with a short ICP: current kf maps (camera space) against the
-    # candidate's maps placed in the world via the candidate pose.
-    cand_pose = pg.kf_poses[cand]
+    # Verify each candidate with a short ICP: current kf maps (camera
+    # space) against the candidate's maps placed in the world via the
+    # candidate pose.
     cp = pg.kf_points[cur]
     cn = pg.kf_normals[cur]
-    mp_cam = pg.kf_points[cand]
-    mn_cam = pg.kf_normals[cand]
-    mvalid = jnp.any(mp_cam != 0.0, axis=-1, keepdims=True)
-    mp = jnp.where(mvalid, transform_points(cand_pose, mp_cam), 0.0)
-    mn = jnp.where(mvalid, rotate_vectors(cand_pose, mn_cam), 0.0)
+    loop_icp_cfg = ICPConfig(
+        iters=(pg_cfg.loop_icp_iters,),
+        dist_threshold=icp_cfg.dist_threshold * 2.0,
+        angle_threshold_deg=icp_cfg.angle_threshold_deg,
+    )
 
-    res = icp_track(
-        cam_level,
-        ICPConfig(
-            iters=(pg_cfg.loop_icp_iters,),
-            dist_threshold=icp_cfg.dist_threshold * 2.0,
-            angle_threshold_deg=icp_cfg.angle_threshold_deg,
-        ),
-        cur_pose,
-        cand_pose,
-        [cp],
-        [cn],
-        [mp],
-        [mn],
+    def verify(cand_pose, mp_cam, mn_cam):
+        mvalid = jnp.any(mp_cam != 0.0, axis=-1, keepdims=True)
+        mp = jnp.where(mvalid, transform_points(cand_pose, mp_cam), 0.0)
+        mn = jnp.where(mvalid, rotate_vectors(cand_pose, mn_cam), 0.0)
+        res = icp_track(
+            cam_level, loop_icp_cfg, cur_pose, cand_pose,
+            [cp], [cn], [mp], [mn],
+        )
+        ok = (
+            res.ok
+            & (res.residual < pg_cfg.huber_delta)
+            & (res.num_inliers > icp_cfg.min_corresp * 4)
+        )
+        return ok, res.num_inliers, res.T_wc
+
+    ok_all, inl_all, T_all = jax.vmap(verify)(
+        pg.kf_poses[cand_ids], pg.kf_points[cand_ids], pg.kf_normals[cand_ids]
     )
-    good = (
-        has_cand
-        & res.ok
-        & (res.residual < pg_cfg.huber_delta)
-        & (res.num_inliers > icp_cfg.min_corresp * 4)
-    )
+    ok_all = ok_all & cand_has
+    score = jnp.where(ok_all, inl_all, -1)
+    best = jnp.argmax(score)
+    good = score[best] >= 0
+    cand = cand_ids[best]
+    cand_pose = pg.kf_poses[cand]
 
     # Loop edge cand -> cur with T_meas from the refined pose.
-    T_meas = se3_inverse(cand_pose) @ res.T_wc
+    T_meas = se3_inverse(cand_pose) @ T_all[best]
     eidx = jnp.where(good & (pg.num_edges < e_cap), pg.num_edges, e_cap)
     pg = pg._replace(
         edge_i=pg.edge_i.at[eidx].set(cand, mode="drop"),
