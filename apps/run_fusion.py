@@ -13,8 +13,14 @@ analytic scene through the SLAM system and writes:
   out_dir/metrics.json{l}         per-frame + summary metrics
   out_dir/render_*.png            rendered raycast views (every N frames)
 
+The SLAM loop is CHUNKED (models/slam.py): one jitted dispatch per
+``keyframe_every`` frames, so the app loop runs at device-pipeline speed
+instead of paying a host sync + dispatch per frame — the real-time
+product surface matching the reference's interactive loop
+(reference: apps/demo.cpp:86-129).
+
 Usage:
-  python apps/run_fusion.py --synthetic 30 --out /tmp/run
+  python apps/run_fusion.py --synthetic 90 --out /tmp/run
   python apps/run_fusion.py --sequence /data/rgbd_dataset_freiburg1_desk \
       --out /tmp/fr1desk --set tsdf.voxel_size=0.005 --render-every 30
 """
@@ -24,6 +30,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -35,11 +42,19 @@ def main() -> int:
     ap.add_argument("--sequence", help="TUM/ICL sequence directory")
     ap.add_argument("--synthetic", type=int, metavar="N",
                     help="run N synthetic frames instead of a dataset")
+    ap.add_argument("--synthetic-vga", action="store_true",
+                    help="synthetic frames at 640x480 (default 320x240)")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--config", help="YAML/JSON config file")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
                     help="dotted config override, e.g. tsdf.voxel_size=0.01")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="frames per device dispatch "
+                    "(default: posegraph.keyframe_every)")
+    ap.add_argument("--rgb", action="store_true",
+                    help="fuse color and write a color render "
+                    "(synthetic scenes render RGB; TUM sequences load it)")
     ap.add_argument("--render-every", type=int, default=0,
                     help="save a rendered view every N frames")
     ap.add_argument("--no-posegraph", action="store_true",
@@ -61,49 +76,113 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
 
     cfg = load_config(args.config) if args.config else PipelineConfig()
+    cfg = apply_overrides(cfg, args.overrides)
+    if args.rgb:
+        import dataclasses as _dc
 
-    # Frame source.
+        cfg = _dc.replace(cfg, tsdf=_dc.replace(cfg.tsdf, use_color=True))
+    camera_overridden = any(
+        o.split("=")[0].strip().startswith("camera.") for o in args.overrides
+    )
+
+    # Frame source: a generator of (depth_chunk [N,H,W], rgb_chunk|None).
     gt_poses = None
     timestamps = None
     if args.synthetic:
-        from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
         import dataclasses
+        import jax
 
-        cam = CameraConfig(width=320, height=240, fx=250.0, fy=250.0,
-                           cx=160.0, cy=120.0)
+        from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
+
+        if camera_overridden:
+            cam = cfg.camera
+        elif args.synthetic_vga:
+            cam = CameraConfig(width=640, height=480, fx=500.0, fy=500.0,
+                               cx=320.0, cy=240.0)
+        else:
+            cam = CameraConfig(width=320, height=240, fx=250.0, fy=250.0,
+                               cx=160.0, cy=120.0)
         cfg = dataclasses.replace(cfg, camera=cam)
         scene = SyntheticScene()
-        gt_poses = orbit_trajectory(args.synthetic, max_angle_deg=5.0,
-                                    max_shift=0.05, seed=2)
-
-        def frames():
-            for T in gt_poses:
-                yield scene.render_depth_mm(cam, jnp.asarray(T, jnp.float32))
-
         n_total = args.synthetic
+        gt_poses = orbit_trajectory(n_total, max_angle_deg=5.0,
+                                    max_shift=0.05, seed=2)
+        chunk = args.chunk or cfg.posegraph.keyframe_every
+
+        render_chunk = jax.jit(
+            lambda Ts: jax.vmap(lambda T: scene.render_depth_mm(cam, T))(Ts)
+        )
+        render_rgb_chunk = (
+            jax.jit(
+                lambda Ts: jax.vmap(
+                    lambda T: scene.render_rgb(cam, T)
+                )(Ts)
+            )
+            if args.rgb
+            else None
+        )
+
+        def _all_chunks():
+            # Pre-render the synthetic sequence to device memory UP FRONT:
+            # sphere-tracing the analytic scene is test-data generation,
+            # not framework work (a real sensor or the native prefetch
+            # loader delivers frames concurrently with fusion).
+            out = []
+            for c0 in range(0, n_total - n_total % chunk, chunk):
+                Ts = jnp.asarray(
+                    np.stack(gt_poses[c0:c0 + chunk]), jnp.float32
+                )
+                rgb = render_rgb_chunk(Ts) if args.rgb else None
+                out.append((render_chunk(Ts), rgb))
+            for T in gt_poses[n_total - n_total % chunk:]:
+                T = jnp.asarray(T, jnp.float32)[None]
+                rgb = render_rgb_chunk(T) if args.rgb else None
+                out.append((render_chunk(T), rgb))
+            # block_until_ready is unreliable over tunneled backends; a
+            # tiny readback is a true completion fence.
+            np.asarray(out[-1][0][0, 0, 0])
+            return out
+
+        _prerendered = _all_chunks()
+
+        def chunks():
+            yield from _prerendered
     elif args.sequence:
         import dataclasses
 
         from topfusion_tpu.io.datasets import open_sequence
 
-        seq = open_sequence(args.sequence)
+        seq = open_sequence(args.sequence, with_rgb=args.rgb)
         cfg = dataclasses.replace(cfg, camera=seq.camera)
         timestamps = []
         if seq.groundtruth is not None:
             gt_poses = []
+        n_total = len(seq)
+        if args.max_frames:
+            n_total = min(n_total, args.max_frames)
+        chunk = args.chunk or cfg.posegraph.keyframe_every
 
-        def frames():
-            for fr in seq:
+        def chunks():
+            buf, rgb_buf = [], []
+            for k, fr in enumerate(seq):
+                if k >= n_total:
+                    break
                 timestamps.append(fr.timestamp)
                 if gt_poses is not None:
                     gt_poses.append(seq.gt_pose_at(fr.timestamp))
-                yield jnp.asarray(fr.depth_mm)
-
-        n_total = len(seq)
+                buf.append(np.asarray(fr.depth_mm))
+                if args.rgb and fr.rgb is not None:
+                    rgb_buf.append(np.asarray(fr.rgb))
+                if len(buf) == chunk:
+                    yield np.stack(buf), (
+                        np.stack(rgb_buf) if rgb_buf else None
+                    )
+                    buf, rgb_buf = [], []
+            for i, d in enumerate(buf):  # remainder, frame at a time
+                yield d[None], (rgb_buf[i][None] if rgb_buf else None)
     else:
         ap.error("need --sequence or --synthetic")
 
-    cfg = apply_overrides(cfg, args.overrides)
     save_config(os.path.join(args.out, "config.yaml"), cfg)
 
     from topfusion_tpu.models.slam import SlamSystem
@@ -111,19 +190,54 @@ def main() -> int:
     slam = SlamSystem(cfg)
     metrics = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
 
-    print(f"running {n_total} frames...")
-    for i, depth in enumerate(frames()):
-        if args.max_frames and i >= args.max_frames:
+    print("warmup (compiling the chunk/optimize/reintegrate dispatches)...")
+    t_w = time.perf_counter()
+    slam.warmup(chunk, with_rgb=args.rgb)
+    warmup_s = time.perf_counter() - t_w
+    print(f"warmup done in {warmup_s:.1f} s")
+
+    print(f"running {n_total} frames (chunk={chunk})...")
+    metrics.reset_timer()
+    t_start = time.perf_counter()
+    t_after_first = None
+    frames_after_first = 0
+    done = 0
+    next_render = 0
+    for depth_chunk, rgb_chunk in chunks():
+        if args.max_frames and done >= args.max_frames:
             break
-        info = slam.process_frame(depth)
-        metrics.log_frame(info)
-        if args.render_every and i % args.render_every == 0:
+        n = depth_chunk.shape[0]
+        # Keyframe cadence: the chunk generator is aligned so full chunks
+        # start on multiples of keyframe_every (chunk defaults to it).
+        do_kf = (
+            not args.no_posegraph
+            and done % cfg.posegraph.keyframe_every == 0
+        )
+        infos = slam.process_chunk(depth_chunk, do_kf=do_kf, rgb=rgb_chunk)
+        for info in infos:
+            metrics.log_frame(info)
+        done += n
+        if t_after_first is None:
+            t_after_first = time.perf_counter()
+        else:
+            frames_after_first += n
+        if args.render_every and done > next_render:
+            next_render = done + args.render_every - 1
             import imageio.v3 as iio
 
             img = np.asarray(slam.render())
-            iio.imwrite(os.path.join(args.out, f"render_{i:05d}.png"), img)
+            iio.imwrite(
+                os.path.join(args.out, f"render_{done:05d}.png"), img
+            )
+    t_end = time.perf_counter()
 
     summary = metrics.summary()
+    summary["warmup_s"] = warmup_s
+    summary["app_fps_total"] = done / max(t_end - t_start, 1e-9)
+    if t_after_first is not None and frames_after_first > 0:
+        summary["app_fps_steady"] = frames_after_first / max(
+            t_end - t_after_first, 1e-9
+        )
     opt = slam.optimized_trajectory()
     if gt_poses is not None and all(g is not None for g in gt_poses or []):
         gt_list = [np.asarray(g) for g in gt_poses[: len(slam.odom_poses)]]
@@ -138,10 +252,17 @@ def main() -> int:
     from topfusion_tpu.ops.pointcloud import extract_pointcloud_blocks, save_ply
 
     pc = extract_pointcloud_blocks(
-        self_map := slam.state.block_map(), cfg.tsdf, cfg.blockmap
+        slam.state.block_map(), cfg.tsdf, cfg.blockmap
     )
     n_pts = save_ply(os.path.join(args.out, "cloud.ply"), pc)
     print(f"extracted {n_pts} surface points -> cloud.ply")
+
+    if args.rgb:
+        import imageio.v3 as iio
+
+        img = np.asarray(slam.pipe.render_color(slam.state))
+        iio.imwrite(os.path.join(args.out, "render_color.png"), img)
+        print("color render -> render_color.png")
 
     save_run(
         args.out,

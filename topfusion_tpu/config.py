@@ -251,9 +251,15 @@ class PoseGraphConfig:
     # trajectory is corrected.
     map_correction: str = "reintegrate"
     # Minimum translation correction (meters) of the newest keyframe that
-    # triggers a re-integration; smaller corrections are absorbed by the
-    # TSDF truncation band anyway.
-    min_map_correction: float = 0.01
+    # triggers a re-integration.  Corrections smaller than ~2x the TSDF
+    # truncation band (trunc_dist = 0.02 by default) are absorbed by the
+    # band itself; rebuilding for them only THINS the map (keyframe-only
+    # re-fusion) and measurably degrades subsequent frame-to-model
+    # tracking — on the 90-frame VGA orbit, reintegrating on every ~15 mm
+    # correction ghosts the map (4.9k -> 9.2k blocks) and triples odometry
+    # ATE (docs/RESULTS.md round-3 A/B).  Rebuild only when the frame
+    # genuinely jumped.
+    min_map_correction: float = 0.04
 
 
 @dataclasses.dataclass(frozen=True)

@@ -158,10 +158,10 @@ class ICLSequence:
             )
 
 
-def open_sequence(root: str):
+def open_sequence(root: str, with_rgb: bool = False):
     """Auto-detect sequence flavor from directory contents."""
     if os.path.exists(os.path.join(root, "depth.txt")):
         if "icl" in root.lower() or "living" in root.lower():
             return ICLSequence(root)
-        return TUMSequence(root)
+        return TUMSequence(root, with_rgb=with_rgb)
     raise FileNotFoundError(f"no recognizable sequence at {root}")

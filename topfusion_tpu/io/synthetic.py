@@ -102,6 +102,72 @@ class SyntheticScene:
         d = self.render_depth(cam, T_wc, **kw)
         return jnp.round(d * 1000.0).astype(jnp.uint16)
 
+    # ------------------------------------------------------------- color
+    def primitive_colors(self) -> jnp.ndarray:
+        """One palette RGB (in [0, 1]) per primitive, in sdf() order
+        (spheres, boxes, planes)."""
+        n = len(self.spheres) + len(self.boxes) + len(self.planes)
+        palette = jnp.asarray(
+            [
+                [0.9, 0.2, 0.2],
+                [0.2, 0.8, 0.3],
+                [0.25, 0.35, 0.9],
+                [0.9, 0.8, 0.2],
+                [0.8, 0.3, 0.8],
+                [0.3, 0.8, 0.8],
+                [0.9, 0.55, 0.2],
+                [0.6, 0.6, 0.6],
+            ],
+            jnp.float32,
+        )
+        return palette[jnp.arange(n) % palette.shape[0]]
+
+    def color_at(self, p: jnp.ndarray) -> jnp.ndarray:
+        """Albedo at world points p (..., 3): the palette color of the
+        nearest primitive (flat shading — exactly recoverable from the
+        fused color volume, which is what the color tests assert)."""
+        dists = []
+        for cx, cy, cz, r in self.spheres:
+            c = jnp.asarray([cx, cy, cz], p.dtype)
+            dists.append(jnp.linalg.norm(p - c, axis=-1) - r)
+        for cx, cy, cz, hx, hy, hz in self.boxes:
+            c = jnp.asarray([cx, cy, cz], p.dtype)
+            h = jnp.asarray([hx, hy, hz], p.dtype)
+            q = jnp.abs(p - c) - h
+            outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+            inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+            dists.append(outside + inside)
+        for nx, ny, nz, off in self.planes:
+            n = jnp.asarray([nx, ny, nz], p.dtype)
+            dists.append(jnp.sum(p * n, axis=-1) + off)
+        which = jnp.argmin(jnp.stack(dists, axis=-1), axis=-1)
+        return self.primitive_colors()[which]
+
+    def render_rgb(
+        self, cam: CameraConfig, T_wc: jnp.ndarray, **kw
+    ) -> jnp.ndarray:
+        """Flat-albedo RGB image [H, W, 3] uint8 registered to the depth
+        image (black where depth is invalid) — the synthetic stand-in for
+        the reference's registered OpenNI RGB stream
+        (reference: tfusion/src/capture.cpp:228-240)."""
+        d = self.render_depth(cam, T_wc, **kw)
+        h, w = cam.height, cam.width
+        uv = pixel_grid(cam)
+        dirs_cam = jnp.stack(
+            [
+                (uv[..., 0] - cam.cx) / cam.fx,
+                (uv[..., 1] - cam.cy) / cam.fy,
+                jnp.ones((h, w), jnp.float32),
+            ],
+            axis=-1,
+        )
+        R = T_wc[:3, :3]
+        o = T_wc[:3, 3]
+        dirs_w = jnp.einsum("ij,hwj->hwi", R, dirs_cam)
+        p = o + d[..., None] * dirs_w
+        rgb = jnp.where(d[..., None] > 0.0, self.color_at(p), 0.0)
+        return jnp.round(rgb * 255.0).astype(jnp.uint8)
+
 
 def orbit_trajectory(
     n_frames: int,

@@ -112,6 +112,7 @@ def detect_loop(
     cam_level: CameraConfig,
     pg_cfg: PoseGraphConfig,
     icp_cfg: ICPConfig,
+    enable: jnp.ndarray | bool = True,
 ) -> Tuple[PoseGraph, jnp.ndarray]:
     """Try to close a loop for the NEWEST keyframe.
 
@@ -121,8 +122,9 @@ def detect_loop(
     candidates at once (constant compile-time cost).  The best verified
     candidate by inlier count wins; the edge is inserted under a mask.
     Multi-candidate checking catches revisits at viewing angles where the
-    single nearest keyframe fails ICP verification.  Returns
-    (graph, loop_found).
+    single nearest keyframe fails ICP verification.  ``enable`` masks the
+    whole detection (edge insert + found flag) so the call can live inside
+    an always-executed jitted chunk step.  Returns (graph, loop_found).
     """
     k_cap = pg.kf_poses.shape[0]
     e_cap = pg.edge_i.shape[0]
@@ -173,7 +175,7 @@ def detect_loop(
     ok_all = ok_all & cand_has
     score = jnp.where(ok_all, inl_all, -1)
     best = jnp.argmax(score)
-    good = score[best] >= 0
+    good = (score[best] >= 0) & jnp.asarray(enable)
     cand = cand_ids[best]
     cand_pose = pg.kf_poses[cand]
 

@@ -26,6 +26,11 @@ class MetricsLogger:
         self._t_last = time.perf_counter()
         self._frame_times: List[float] = []
 
+    def reset_timer(self) -> None:
+        """Restart the frame clock (call after warmup/compile phases so
+        the first frame doesn't absorb them)."""
+        self._t_last = time.perf_counter()
+
     def log_frame(self, record: Dict[str, Any]) -> None:
         now = time.perf_counter()
         record = dict(record)
