@@ -69,6 +69,12 @@ class PreprocConfig:
     # Max sensor range treated as valid by computeDists
     # (reference: imgproc.cu:277 — >=2047 mm -> invalid).
     max_sensor_depth: float = 2.046
+    # Reference-exact bilateral/pyramid support: invalid (zero) neighbours
+    # participate and the window is positional (reference:
+    # imgproc.cu:25-45, 111-131).  Default False = quality fix (invalid
+    # neighbours excluded).  Used by the parity A/B
+    # (scripts/parity_ab.py, tests/test_parity.py).
+    reference_edge_semantics: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,9 +97,26 @@ class ICPConfig:
     min_det: float = 1e-14
     # Minimum number of gated correspondences for a valid solve.
     min_corresp: int = 30
-    # Bilinear (sub-pixel) gather of model maps during association; nearest
-    # is 4x fewer gathers and measured accuracy-neutral on synthetic scenes.
+    # Bilinear (sub-pixel) gather of model maps during association on ALL
+    # levels; nearest is 4x fewer gathers.  On noiseless synthetic scenes
+    # nearest is accuracy-neutral, but under sensor noise nearest-only
+    # association measurably degrades vs the reference-semantics run
+    # (parity A/B, docs/RESULTS.md) — bilinear_finest recovers it at a
+    # fraction of the cost.
     bilinear: bool = False
+    # Bilinear association on the LAST N iterations of the finest level
+    # only (everything else stays nearest): the polish iterations set the
+    # converged pose, so sub-pixel association there recovers
+    # reference-run accuracy under sensor noise (parity A/B ratio 1.32 ->
+    # ~1.0, docs/RESULTS.md) at ~1/3 the cost of whole-level bilinear.
+    # Coarse-level bilinear measures WORSE (smears depth discontinuities
+    # at low resolution) — don't turn `bilinear` on for accuracy.
+    bilinear_polish_iters: int = 3
+    # Extra row subsampling (on top of level0_stride) for the polish
+    # iterations: sub-pixel association quality is per-row and the 6x6
+    # system stays over-determined at 1/16 of VGA rows, so the polish
+    # costs ~1/4 of full-stride bilinear.
+    polish_stride: int = 2
     # Model-map gather implementation: "flat" = flattened 8-channel-aligned
     # row gather (fastest measured on v5e, exact), "onehot" = banded
     # one-hot matmul on the MXU (ops/gather_mm.py), "take" = plain XLA
@@ -174,6 +197,12 @@ class BlockMapConfig:
     # (the candidate sort+lookup is a top-5 per-frame cost).
     alloc_pixel_stride: int = 4
     alloc_steps: int = 4
+    # Visible-set maintenance by AGING (last frame's visible list + this
+    # frame's allocation-touched blocks, frustum re-checked) instead of a
+    # full O(capacity) pool scan per frame — the reference's visible-list
+    # shape (setToType3, SceneReconstructionEngine_host.cu:343-348).
+    # Free-view renders and post-reset refreshes always full-rescan.
+    visible_aging: bool = True
     # Voxel pool storage dtype.  "bfloat16" is the Voxel_s analogue
     # (reference packs sdf into int16 + uint8 weight, VoxelTypes.hpp:69-92):
     # it halves HBM traffic for integrate/splat/raycast.  All arithmetic
@@ -208,6 +237,15 @@ class RaycastConfig:
     # raycast_step_factor; castRay steps max(sdf*mu/voxel, 1)).
     min_step_voxels: float = 1.0
     refine_steps: int = 1
+    # Splat model maps: surface voxels taken per 8^3 block (a plane
+    # crossing a block touches ~bsz^2 * trunc_dist/voxel_size voxels —
+    # 256 at the default mu/voxel = 4 band; 128 + one dilation pass is
+    # measured accuracy-equivalent at 1.9 vs 1.86 mm and 6 fps faster at
+    # VGA) and 3x3 min-dilation passes closing sub-pixel splat holes
+    # (ops/splat.py).  Dilation is load-bearing: without it the hole
+    # pixels starve ICP of correspondences (measured 200 mm ATE).
+    surfels_per_block: int = 128
+    dilate_passes: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -291,6 +329,40 @@ class PipelineConfig:
 
 def default_config() -> PipelineConfig:
     return PipelineConfig()
+
+
+def reference_exact_config(cfg: PipelineConfig) -> PipelineConfig:
+    """Flip every documented fast-mode deviation to its reference-exact
+    setting, keeping shapes/capacities untouched.
+
+    This is the "reference algorithm semantics re-expressed in this
+    framework" configuration that BASELINE.md's accuracy protocol measures
+    against (scripts/parity_ab.py):
+
+      * bilateral/pyramid positional windows incl. invalid neighbours
+        (reference: imgproc.cu:25-45, 111-131);
+      * per-pixel exact gathers + bilinear association, no level-0 stride
+        (reference: proj_icp.cu:80-117, 409-412 texture gathers);
+      * ICP model maps by full sphere-march raycast, not splatting
+        (reference: CreateICPMaps, VisualisationEngine_CUDA.cu:323-360);
+      * XLA gather/fuse/scatter integration (the semantic reference for
+        the Pallas kernel).
+    """
+    return dataclasses.replace(
+        cfg,
+        preproc=dataclasses.replace(
+            cfg.preproc, reference_edge_semantics=True
+        ),
+        icp=dataclasses.replace(
+            cfg.icp, gather_mode="take", bilinear=True, level0_stride=1
+        ),
+        raycast=dataclasses.replace(
+            cfg.raycast, model_maps="raycast", guided=False
+        ),
+        blockmap=dataclasses.replace(
+            cfg.blockmap, use_pallas_integrate=False
+        ),
+    )
 
 
 def tiny_test_config() -> PipelineConfig:

@@ -169,6 +169,70 @@ class SyntheticScene:
         return jnp.round(rgb * 255.0).astype(jnp.uint8)
 
 
+def corridor_scene(length_m: float = 12.0, box_every: float = 0.6) -> SyntheticScene:
+    """A long corridor: side walls + floor + ceiling planes and a row of
+    boxes marching down +z.  Forward motion through it allocates FRESH
+    blocks every frame — the allocation-stress benchmark scenario
+    (bench.py --scenario sweep), unlike the orbit whose working set
+    saturates after the first pass."""
+    boxes = []
+    z = 0.8
+    k = 0
+    while z < length_m:
+        side = -0.45 if k % 2 == 0 else 0.45
+        boxes.append((side, 0.25 - 0.15 * (k % 3), z, 0.12, 0.15, 0.12))
+        z += box_every
+        k += 1
+    return SyntheticScene(
+        spheres=(),
+        boxes=tuple(boxes),
+        planes=(
+            (1.0, 0.0, 0.0, 0.8),     # left wall  x = -0.8
+            (-1.0, 0.0, 0.0, 0.8),    # right wall x = +0.8
+            (0.0, -1.0, 0.0, 0.45),   # floor      y = +0.45 (y down)
+            (0.0, 1.0, 0.0, 0.8),     # ceiling    y = -0.8
+        ),
+    )
+
+
+def sweep_trajectory(
+    n_frames: int, step_m: float = 0.03, sway: float = 0.04
+) -> List[np.ndarray]:
+    """Forward dolly down the corridor with gentle lateral/angular sway
+    (keeps ICP 6-DoF constrained without revisiting geometry)."""
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        xi = np.array(
+            [
+                0.03 * np.sin(4 * np.pi * s),
+                0.05 * np.sin(2 * np.pi * s),
+                0.0,
+                sway * np.sin(6 * np.pi * s),
+                0.5 * sway * np.cos(6 * np.pi * s),
+                step_m * i,
+            ],
+            np.float32,
+        )
+        poses.append(np.asarray(se3_exp(jnp.asarray(xi))))
+    return poses
+
+
+def add_depth_noise(
+    depth_mm: np.ndarray, sigma_mm: float, seed: int = 0
+) -> np.ndarray:
+    """Additive Gaussian sensor noise (sigma in millimeters) on a u16
+    depth image; invalid (0) pixels stay invalid.  Sensor-model stand-in
+    for the accuracy protocol's noise levels (BASELINE.md)."""
+    if sigma_mm <= 0.0:
+        return depth_mm
+    rng = np.random.default_rng(seed)
+    d = depth_mm.astype(np.float32)
+    noisy = d + rng.normal(0.0, sigma_mm, size=d.shape).astype(np.float32)
+    noisy = np.where(d > 0, np.clip(np.round(noisy), 1, 65535), 0)
+    return noisy.astype(np.uint16)
+
+
 def orbit_trajectory(
     n_frames: int,
     max_angle_deg: float = 8.0,

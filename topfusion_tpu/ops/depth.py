@@ -68,11 +68,26 @@ def _shifted(img: jnp.ndarray, dy: int, dx: int, fill: float = 0.0) -> jnp.ndarr
     return padded[max(dy, 0) : max(dy, 0) + h, max(dx, 0) : max(dx, 0) + w]
 
 
+def _pos_mask(h: int, w: int, dy: int, dx: int) -> jnp.ndarray:
+    """Mask of centre pixels whose (dy, dx) neighbour lies at a position
+    the REFERENCE window includes: in-bounds AND not the last row/column
+    (its clamped loop bound ``cy < min(y - k/2 + k, rows - 1)`` excludes
+    index rows-1 as a neighbour everywhere, reference: imgproc.cu:25-33,
+    111-121)."""
+    ys = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return (
+        (ys + dy >= 0) & (ys + dy <= h - 2)
+        & (xs + dx >= 0) & (xs + dx <= w - 2)
+    )
+
+
 def bilateral_filter(
     depth: jnp.ndarray,
     kernel_size: int = 7,
     sigma_spatial: float = 4.5,
     sigma_depth: float = 0.04,
+    reference_semantics: bool = False,
 ) -> jnp.ndarray:
     """Edge-preserving bilateral filter on a metric depth image [H, W].
 
@@ -80,10 +95,20 @@ def bilateral_filter(
     - dd^2/2*sigma_d^2), reference: imgproc.cu:37-43) with sigma_depth in
     meters; invalid (0) pixels stay invalid and are excluded from every
     neighbourhood.
+
+    ``reference_semantics=True`` reproduces the reference's support
+    exactly for the parity A/B (scripts/parity_ab.py): invalid (zero)
+    neighbours participate with their zero value (dragging edge pixels
+    toward the camera, reference: imgproc.cu:28-45 — no validity test),
+    and the window is positional (in-bounds, last row/column excluded)
+    rather than validity-based.  Output validity stays equal to input
+    validity in both modes (the reference re-masks invalid depth
+    downstream in its vertex-map stage).
     """
     inv2_s = 0.5 / (sigma_spatial * sigma_spatial)
     inv2_d = 0.5 / (sigma_depth * sigma_depth)
     r = kernel_size // 2
+    h, w = depth.shape
     valid = depth > 0.0
 
     wsum = jnp.zeros_like(depth)
@@ -91,14 +116,17 @@ def bilateral_filter(
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             nb = _shifted(depth, dy, dx)
-            nb_valid = nb > 0.0
+            if reference_semantics:
+                nb_ok = _pos_mask(h, w, dy, dx)
+            else:
+                nb_ok = nb > 0.0
             diff = depth - nb
-            w = jnp.exp(
+            weight = jnp.exp(
                 -((dy * dy + dx * dx) * inv2_s + diff * diff * inv2_d)
             )
-            w = jnp.where(nb_valid, w, 0.0)
-            wsum = wsum + w
-            vsum = vsum + w * nb
+            weight = jnp.where(nb_ok, weight, 0.0)
+            wsum = wsum + weight
+            vsum = vsum + weight * nb
     out = vsum / jnp.maximum(wsum, 1e-12)
     return jnp.where(valid, out, 0.0)
 
@@ -109,12 +137,19 @@ def truncate_depth(depth: jnp.ndarray, max_dist: float) -> jnp.ndarray:
     return jnp.where(depth > max_dist, 0.0, depth)
 
 
-def downsample_depth(depth: jnp.ndarray, sigma_depth: float = 0.04) -> jnp.ndarray:
+def downsample_depth(
+    depth: jnp.ndarray,
+    sigma_depth: float = 0.04,
+    reference_semantics: bool = False,
+) -> jnp.ndarray:
     """2x depth downsample with discontinuity rejection.
 
     dst[y, x] = mean of the 5x5 neighbourhood of src[2y, 2x] restricted to
     valid samples within 3*sigma_depth of the centre
     (reference: imgproc.cu:98-140; centre validity added — see module doc).
+    ``reference_semantics=True`` drops the validity tests and uses the
+    reference's positional window instead (invalid zeros within 3 sigma of
+    an invalid centre average to 0, matching pyramid_kernel exactly).
 
     Layout note: a stride-2 lane slice per tap is ~100x slower than a
     static shift on TPU (measured ~20 ms at VGA).  The source is split
@@ -137,10 +172,24 @@ def downsample_depth(depth: jnp.ndarray, sigma_depth: float = 0.04) -> jnp.ndarr
         for dx in range(-2, 3):
             ax, bx = dx >> 1, dx & 1
             nb = _shifted(planes[by][bx], ay, ax)
-            ok = (nb > 0.0) & (jnp.abs(nb - center) < thresh)
+            ok = jnp.abs(nb - center) < thresh
+            if reference_semantics:
+                # Positional window on the FULL-RES source grid (the
+                # reference clamps there, imgproc.cu:111-121): centre
+                # (2y, 2x), neighbour (2y+dy, 2x+dx).
+                ys = lax.broadcasted_iota(jnp.int32, center.shape, 0) * 2
+                xs = lax.broadcasted_iota(jnp.int32, center.shape, 1) * 2
+                ok = ok & (
+                    (ys + dy >= 0) & (ys + dy <= h - 2)
+                    & (xs + dx >= 0) & (xs + dx <= w - 2)
+                )
+            else:
+                ok = ok & (nb > 0.0)
             ssum = ssum + jnp.where(ok, nb, 0.0)
             scount = scount + ok.astype(depth.dtype)
     out = ssum / jnp.maximum(scount, 1.0)
+    if reference_semantics:
+        return jnp.where(scount > 0.0, out, 0.0)
     return jnp.where((center > 0.0) & (scount > 0.0), out, 0.0)
 
 
@@ -151,7 +200,15 @@ def build_depth_pyramid(
     (reference: topfu.cpp:193-194 calls depthBuildPyramid per level)."""
     pyr = [depth]
     for _ in range(cfg.pyramid_levels - 1):
-        pyr.append(_fence(downsample_depth(pyr[-1], cfg.pyramid_sigma_depth)))
+        pyr.append(
+            _fence(
+                downsample_depth(
+                    pyr[-1],
+                    cfg.pyramid_sigma_depth,
+                    reference_semantics=cfg.reference_edge_semantics,
+                )
+            )
+        )
     return pyr
 
 
@@ -171,6 +228,7 @@ def preprocess_depth(
         cfg.bilateral_kernel_size,
         cfg.bilateral_sigma_spatial,
         cfg.bilateral_sigma_depth,
+        reference_semantics=cfg.reference_edge_semantics,
     )
     filtered = _fence(truncate_depth(filtered, cfg.depth_truncation))
     return raw_m, build_depth_pyramid(filtered, cfg)

