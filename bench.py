@@ -15,6 +15,7 @@ integrate -> raycast) chained on device, with one final sync.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -27,10 +28,7 @@ import numpy as np
 BASELINE_FPS = 30.0
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
+def make_cfg():
     from topfusion_tpu.config import (
         BlockMapConfig,
         CameraConfig,
@@ -39,14 +37,12 @@ def main() -> None:
         RaycastConfig,
         TSDFConfig,
     )
-    from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
-    from topfusion_tpu.models.block_pipeline import BlockPipeline
 
     # Flagship: BASELINE.md config 2 — VGA sensor, voxel-hashed 5 mm TSDF
     # (2^16 x 8^3 blocks = the reference's full map capacity,
     # reference: VoxelBlockHash.hpp:10-18).
     cam = CameraConfig()  # 640x480, reference intrinsics
-    cfg = PipelineConfig(
+    return PipelineConfig(
         camera=cam,
         icp=ICPConfig(iters=(10, 5, 4)),
         tsdf=TSDFConfig(voxel_size=0.005, trunc_dist=0.02),
@@ -62,26 +58,38 @@ def main() -> None:
         raycast=RaycastConfig(max_steps=192),
     )
 
+
+def _sync(s):
+    # block_until_ready is unreliable over tunneled backends; a tiny
+    # D2H readback is a true completion fence.
+    return np.asarray(s.T_wc[0, 0])
+
+
+def bench_orbit() -> dict:
+    """Steady-state scenario: a small orbit whose block working set
+    saturates after warmup — integration/splat/ICP dominate, allocation
+    is near-idle."""
+    import jax
+    import jax.numpy as jnp
+
+    from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
+    from topfusion_tpu.models.block_pipeline import BlockPipeline
+
+    cfg = make_cfg()
+    cam = cfg.camera
     scene = SyntheticScene()
     poses = orbit_trajectory(8, max_angle_deg=3.0, max_shift=0.03, seed=1)
     frames = [
         scene.render_depth_mm(cam, jnp.asarray(T, jnp.float32)) for T in poses
     ]
-    frames = jax.block_until_ready(frames)
+    frames_arr = jnp.stack(frames)
 
     pipe = BlockPipeline(cfg)
     state = pipe.init()
 
-    def sync(s):
-        # block_until_ready is unreliable over tunneled backends; a tiny
-        # D2H readback is a true completion fence.
-        return np.asarray(s.T_wc[0, 0])
-
     # One dispatch fuses the whole frame batch (lax.scan over frames):
     # the sensor-pipeline analogue of the reference's per-frame loop, with
     # the per-dispatch tunnel cost amortized across the chunk.
-    frames_arr = jnp.stack(frames)
-
     @jax.jit
     def run_chunk(state, farr):
         def body(s, f):
@@ -93,7 +101,7 @@ def main() -> None:
     state, _ = pipe.step(state, frames[0])
     state, _ = pipe.step(state, frames[1])
     state, _ = run_chunk(state, frames_arr)
-    sync(state)
+    _sync(state)
 
     n_iters = 6
     t0 = time.perf_counter()
@@ -101,20 +109,92 @@ def main() -> None:
     for _ in range(n_iters):
         state, _ = run_chunk(state, frames_arr)
         n_steps += len(frames)
-    sync(state)
-    dt = time.perf_counter() - t0
+    _sync(state)
+    fps = n_steps / (time.perf_counter() - t0)
+    return {
+        "metric": "fused_depth_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
 
-    fps = n_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "fused_depth_frames_per_s_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        )
+
+def bench_sweep(n_frames: int = 64, chunk: int = 8) -> dict:
+    """Allocation-stress scenario: forward sweep through a synthetic
+    corridor — every chunk sees FRESH geometry, so the allocator
+    (sort/unique/probe/rank/scatter) runs hot every frame instead of
+    idling on a saturated working set (round-2 VERDICT weak #2).  Timed
+    region = the one pass over never-seen-before frames (no steady state
+    exists to warm into; compile is warmed on a prefix re-run from a
+    fresh map)."""
+    import jax
+    import jax.numpy as jnp
+
+    from topfusion_tpu.io.synthetic import corridor_scene, sweep_trajectory
+    from topfusion_tpu.models.block_pipeline import BlockPipeline
+
+    cfg = make_cfg()
+    cam = cfg.camera
+    scene = corridor_scene()
+    poses = sweep_trajectory(n_frames)
+    render = jax.jit(lambda T: scene.render_depth_mm(cam, T))
+    frames = [render(jnp.asarray(T, jnp.float32)) for T in poses]
+    n_chunks = n_frames // chunk
+    chunks = [
+        jnp.stack(frames[i * chunk : (i + 1) * chunk])
+        for i in range(n_chunks)
+    ]
+    np.asarray(chunks[-1][0, 0, 0])  # render fence
+
+    pipe = BlockPipeline(cfg)
+
+    @jax.jit
+    def run_chunk(state, farr):
+        def body(s, f):
+            s2, aux = pipe._step(s, f)
+            return s2, (aux.ok, aux.blocks_allocated)
+        return jax.lax.scan(body, state, farr)
+
+    # Warmup compiles on the first chunk from a fresh map, then discard.
+    state = pipe.init()
+    state, _ = pipe.step(state, frames[0])
+    state, _ = run_chunk(state, chunks[0])
+    _sync(state)
+
+    # Timed: a fresh map swept through ALL frames once — every chunk
+    # allocates new blocks.
+    state = pipe.init()
+    t0 = time.perf_counter()
+    allocs = []
+    for c in chunks:
+        state, (_ok, na) = run_chunk(state, c)
+        allocs.append(na)
+    _sync(state)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    alloc_per_frame = float(np.mean(np.concatenate([np.asarray(a) for a in allocs])))
+    sys.stderr.write(
+        f"sweep: {alloc_per_frame:.0f} blocks allocated/frame, "
+        f"{int(state.num_blocks)} total\n"
     )
+    return {
+        "metric": "fused_sweep_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--scenario", choices=("orbit", "sweep"), default="orbit",
+        help="orbit = steady-state headline; sweep = continuous-allocation "
+        "stress (corridor)",
+    )
+    args = ap.parse_args()
+    result = bench_orbit() if args.scenario == "orbit" else bench_sweep()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

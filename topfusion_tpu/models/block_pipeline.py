@@ -24,6 +24,7 @@ from topfusion_tpu.ops.blockmap import BlockMap, make_block_map, reset_block_map
 from topfusion_tpu.ops.tsdf_block import (
     allocate_from_depth,
     visible_blocks,
+    visible_blocks_incremental,
     integrate_blocks,
     integrate_color_blocks,
     raycast_blocks,
@@ -45,6 +46,11 @@ class BlockState(NamedTuple):
     model_normals: Tuple[jnp.ndarray, ...]
     frame: jnp.ndarray
     resets: jnp.ndarray
+    # Last frame's visible slots ([max_visible_blocks] int32, -1 = empty):
+    # the aged set that visible_blocks_incremental re-checks instead of
+    # scanning the whole pool (reference: setToType3 aging,
+    # SceneReconstructionEngine_host.cu:343-348).
+    vis_slots: jnp.ndarray
 
     def block_map(self) -> BlockMap:
         return BlockMap(
@@ -66,6 +72,11 @@ class BlockStepAux(NamedTuple):
     num_blocks: jnp.ndarray
     blocks_allocated: jnp.ndarray
     num_visible: jnp.ndarray
+    # New unique blocks the allocator could NOT insert this frame
+    # (per-frame bound / pool exhaustion / bucket overflow) — the
+    # capacity-pressure signal (reference silently restores the free-list
+    # counter, SceneReconstructionEngine_host.cu:374-381).
+    blocks_dropped: jnp.ndarray
 
 
 class BlockPipeline:
@@ -92,6 +103,9 @@ class BlockPipeline:
             model_normals=tuple(mn),
             frame=jnp.asarray(0, jnp.int32),
             resets=jnp.asarray(0, jnp.int32),
+            vis_slots=jnp.full(
+                (cfg.blockmap.max_visible_blocks,), -1, jnp.int32
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -142,10 +156,22 @@ class BlockPipeline:
 
         # Allocation + visible set + integration
         # (reference: topfu.cpp:281-282).
-        m, n_alloc = allocate_from_depth(
-            m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff
+        m, ainfo = allocate_from_depth(
+            m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff,
+            return_touched=True,
         )
-        vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
+        n_alloc = ainfo.n_inserted
+        if cfg.blockmap.visible_aging:
+            # Aged visible set: last frame's list (wiped on reset) +
+            # this frame's allocation-touched blocks — O(visible+touched)
+            # instead of O(capacity).
+            prev = jnp.where(do_reset, -1, state.vis_slots)
+            vis = visible_blocks_incremental(
+                m, cam, cfg.tsdf, cfg.blockmap, T_int,
+                prev, ainfo.touched_slots,
+            )
+        else:
+            vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
         fused_blocks = None
         if cfg.blockmap.use_pallas_integrate:
             from topfusion_tpu.ops.pallas.integrate_kernel import (
@@ -172,6 +198,8 @@ class BlockPipeline:
         if cfg.raycast.model_maps == "splat":
             rc = splat_model_maps(
                 m, cam, cfg.tsdf, cfg.blockmap, T_int, vis,
+                surfels_per_block=cfg.raycast.surfels_per_block,
+                dilate_passes=cfg.raycast.dilate_passes,
                 blocks=fused_blocks,
             )
         elif cfg.raycast.guided:
@@ -204,6 +232,7 @@ class BlockPipeline:
             model_normals=tuple(mn),
             frame=jnp.where(do_reset, 0, state.frame + 1),
             resets=state.resets + do_reset.astype(jnp.int32),
+            vis_slots=vis[0],
         )
         aux = BlockStepAux(
             ok=ok,
@@ -213,6 +242,7 @@ class BlockPipeline:
             num_blocks=m.num_blocks,
             blocks_allocated=n_alloc,
             num_visible=n_vis,
+            blocks_dropped=ainfo.n_dropped,
         )
         return new_state, aux
 

@@ -186,7 +186,11 @@ class SlamSystem:
         cfg = self.cfg
         m = state.block_map()
         vis = visible_blocks(m, cfg.camera, cfg.tsdf, cfg.blockmap, T_wc)
-        rc = splat_model_maps(m, cfg.camera, cfg.tsdf, cfg.blockmap, T_wc, vis)
+        rc = splat_model_maps(
+            m, cfg.camera, cfg.tsdf, cfg.blockmap, T_wc, vis,
+            surfels_per_block=cfg.raycast.surfels_per_block,
+            dilate_passes=cfg.raycast.dilate_passes,
+        )
         mp = [rc.points]
         mn = [rc.normals]
         for _ in range(cfg.preproc.pyramid_levels - 1):
@@ -196,7 +200,10 @@ class SlamSystem:
             mp.append(p)
             mn.append(n)
         return state._replace(
-            T_wc=T_wc, model_points=tuple(mp), model_normals=tuple(mn)
+            T_wc=T_wc, model_points=tuple(mp), model_normals=tuple(mn),
+            # The full-scan visible set re-seeds the aged incremental set
+            # (the "full rescan after teleport" fallback).
+            vis_slots=vis[0],
         )
 
     # ------------------------------------------------------------------
