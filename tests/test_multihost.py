@@ -16,7 +16,10 @@ import textwrap
 import numpy as np
 import pytest
 
-from topfusion_tpu.parallel.multihost import measure_scaling_block
+from topfusion_tpu.parallel.multihost import (
+    measure_scaling_block,
+    run_block_pipeline_demo,
+)
 
 
 def test_measure_scaling_block_runs():
@@ -79,11 +82,11 @@ _WORKER = textwrap.dedent(
 )
 
 
-def test_two_process_loopback(tmp_path):
-    """Spawn 2 processes, form one JAX cluster over 127.0.0.1, and run a
-    cross-process psum over a 4-device global mesh."""
+def _spawn_two_process_cluster(tmp_path, worker_src, timeout=180):
+    """Spawn 2 worker processes forming one JAX cluster over loopback;
+    return their outputs (asserting both exited 0)."""
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
+    worker.write_text(worker_src)
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -111,7 +114,7 @@ def test_two_process_loopback(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -119,4 +122,71 @@ def test_two_process_loopback(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+    return outs
+
+
+def test_two_process_loopback(tmp_path):
+    """Spawn 2 processes, form one JAX cluster over 127.0.0.1, and run a
+    cross-process psum over a 4-device global mesh."""
+    outs = _spawn_two_process_cluster(tmp_path, _WORKER)
+    for pid, out in enumerate(outs):
         assert f"proc{pid} OK" in out
+
+
+_PIPELINE_WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); coord = sys.argv[2]
+
+    from topfusion_tpu.parallel.multihost import (
+        initialize_multihost, run_block_pipeline_demo,
+    )
+    initialize_multihost(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 4  # 2 local per process
+
+    res = run_block_pipeline_demo(n_devices=4, n_frames=4)
+    print("RESULT", json.dumps({
+        "pose": res["poses"][-1].tolist(),
+        "num_blocks": res["num_blocks"],
+        "num_visible": res["num_visible"],
+    }))
+    print(f"proc{pid} PIPELINE-OK")
+    """
+)
+
+
+def test_two_process_sharded_block_pipeline(tmp_path):
+    """THE flagship pipeline across 2 real processes (BASELINE.md
+    config 5): a 2-process x 2-local-device cluster runs 4 sharded
+    block-fusion steps (hash-ownership alloc, psum'd ICP, composited
+    splat); the trajectory must match the same 4-device mesh run inside
+    ONE process (only collective transport differs — the program and its
+    partitioning are identical)."""
+    import json
+
+    # Single-process 4-device reference on the virtual CPU mesh.
+    ref = run_block_pipeline_demo(n_devices=4, n_frames=4)
+
+    outs = _spawn_two_process_cluster(
+        tmp_path, _PIPELINE_WORKER, timeout=420
+    )
+    for pid, out in enumerate(outs):
+        assert f"proc{pid} PIPELINE-OK" in out, out
+
+    got = json.loads(
+        outs[0].splitlines()[-2].split("RESULT ", 1)[1]
+    )
+    pose2p = np.asarray(got["pose"])
+    pose1p = ref["poses"][-1]
+    assert np.abs(pose2p[:3, 3] - pose1p[:3, 3]).max() < 1e-4, (
+        pose2p, pose1p,
+    )
+    assert np.abs(pose2p[:3, :3] - pose1p[:3, :3]).max() < 1e-3
+    assert got["num_blocks"] == ref["num_blocks"]
+    assert got["num_visible"] == ref["num_visible"]

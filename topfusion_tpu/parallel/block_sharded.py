@@ -53,6 +53,7 @@ from topfusion_tpu.ops.splat import splat_model_maps
 from topfusion_tpu.ops.tsdf_block import (
     allocate_from_depth,
     visible_blocks,
+    visible_blocks_incremental,
     integrate_blocks,
     raycast_blocks,
 )
@@ -120,6 +121,8 @@ class ShardedBlockPipeline:
             model_normals=tuple(rep for _ in range(n_levels)),
             frame=rep,
             resets=rep,
+            # Per-shard aged visible list (local slots).
+            vis_slots=shd(axis),
         )
 
         specs = jax.tree.map(lambda s: s.spec, self._state_shardings,
@@ -144,40 +147,58 @@ class ShardedBlockPipeline:
 
     # ------------------------------------------------------------------
     def init(self) -> BlockState:
+        """Build the sharded initial state ON device via a jitted creator
+        (``out_shardings``): GSPMD materialises each shard locally, so
+        this works identically in single- and MULTI-PROCESS meshes (a
+        host->global ``device_put`` of map-sized arrays would need every
+        process to hold the full array; tests/test_multihost.py runs this
+        across 2 processes)."""
         cfg = self.cfg
         cam = cfg.camera
-        # Global map arrays = ns stacked local maps (leading dim sharded).
-        m_local = make_block_map(
-            self.local_cfg.blockmap, use_color=cfg.tsdf.use_color
-        )
         ns = self.ns
 
-        def tile(a):
-            return jnp.concatenate([a] * ns, axis=0)
+        @functools.partial(
+            jax.jit, out_shardings=self._state_shardings
+        )
+        def _make() -> BlockState:
+            # Global map arrays = ns stacked local maps (dim 0 sharded).
+            m_local = make_block_map(
+                self.local_cfg.blockmap, use_color=cfg.tsdf.use_color
+            )
 
-        m = BlockMap(
-            bucket_keys=tile(m_local.bucket_keys),
-            bucket_slots=tile(m_local.bucket_slots),
-            block_coords=tile(m_local.block_coords),
-            tsdf=tile(m_local.tsdf),
-            weight=tile(m_local.weight),
-            num_blocks=jnp.zeros((ns,), jnp.int32),
-            color=tile(m_local.color) if cfg.tsdf.use_color else m_local.color,
-        )
-        mp, mn = [], []
-        for level in range(cfg.preproc.pyramid_levels):
-            cl = cam.at_level(level)
-            mp.append(jnp.zeros((cl.height, cl.width, 3), jnp.float32))
-            mn.append(jnp.zeros((cl.height, cl.width, 3), jnp.float32))
-        state = BlockState(
-            *m,
-            T_wc=jnp.eye(4, dtype=jnp.float32),
-            model_points=tuple(mp),
-            model_normals=tuple(mn),
-            frame=jnp.asarray(0, jnp.int32),
-            resets=jnp.asarray(0, jnp.int32),
-        )
-        return jax.device_put(state, self._state_shardings)
+            def tile(a):
+                return jnp.concatenate([a] * ns, axis=0)
+
+            m = BlockMap(
+                bucket_keys=tile(m_local.bucket_keys),
+                bucket_slots=tile(m_local.bucket_slots),
+                block_coords=tile(m_local.block_coords),
+                tsdf=tile(m_local.tsdf),
+                weight=tile(m_local.weight),
+                num_blocks=jnp.zeros((ns,), jnp.int32),
+                color=tile(m_local.color)
+                if cfg.tsdf.use_color else m_local.color,
+            )
+            mp, mn = [], []
+            for level in range(cfg.preproc.pyramid_levels):
+                cl = cam.at_level(level)
+                mp.append(jnp.zeros((cl.height, cl.width, 3), jnp.float32))
+                mn.append(jnp.zeros((cl.height, cl.width, 3), jnp.float32))
+            return BlockState(
+                *m,
+                T_wc=jnp.eye(4, dtype=jnp.float32),
+                model_points=tuple(mp),
+                model_normals=tuple(mn),
+                frame=jnp.asarray(0, jnp.int32),
+                resets=jnp.asarray(0, jnp.int32),
+                vis_slots=jnp.full(
+                    (ns * self.local_cfg.blockmap.max_visible_blocks,),
+                    -1,
+                    jnp.int32,
+                ),
+            )
+
+        return _make()
 
     # ------------------------------------------------------------------
     def _local_map(self, state: BlockState) -> BlockMap:
@@ -236,10 +257,21 @@ class ShardedBlockPipeline:
         raw_eff = jnp.where(do_reset, 0.0, raw_m)
 
         # Shard-local allocation (ownership-filtered) + integration.
-        m, n_alloc = allocate_from_depth(
-            m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, shard=shard
+        m, ainfo = allocate_from_depth(
+            m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, shard=shard,
+            return_touched=True,
         )
-        vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
+        n_alloc = ainfo.n_inserted
+        if cfg.blockmap.visible_aging:
+            # Shard-local aging: this shard's previous visible list +
+            # its ownership-filtered touched blocks.
+            prev = jnp.where(do_reset, -1, state.vis_slots)
+            vis = visible_blocks_incremental(
+                m, cam, cfg.tsdf, cfg.blockmap, T_int,
+                prev, ainfo.touched_slots,
+            )
+        else:
+            vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
         m, n_vis = integrate_blocks(
             m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
         )
@@ -247,6 +279,8 @@ class ShardedBlockPipeline:
         # Model maps: shard-local splat + sort-last compositing.
         rc = splat_model_maps(
             m, cam, cfg.tsdf, cfg.blockmap, T_int, vis,
+            surfels_per_block=cfg.raycast.surfels_per_block,
+            dilate_passes=cfg.raycast.dilate_passes,
             axis_name=axis, num_shards=ns,
         )
         mp = [rc.points]
@@ -271,6 +305,7 @@ class ShardedBlockPipeline:
             model_normals=tuple(mn),
             frame=jnp.where(do_reset, 0, state.frame + 1),
             resets=state.resets + do_reset.astype(jnp.int32),
+            vis_slots=vis[0],
         )
         aux = BlockStepAux(
             ok=ok,
@@ -280,6 +315,7 @@ class ShardedBlockPipeline:
             num_blocks=lax.psum(m.num_blocks, axis),
             blocks_allocated=lax.psum(n_alloc, axis),
             num_visible=lax.psum(n_vis, axis),
+            blocks_dropped=lax.psum(ainfo.n_dropped, axis),
         )
         return new_state, aux
 

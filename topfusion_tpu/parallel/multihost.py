@@ -41,6 +41,78 @@ def initialize_multihost(
         )
 
 
+def run_block_pipeline_demo(
+    n_devices: Optional[int] = None, n_frames: int = 4
+) -> dict:
+    """Run the SHARDED BLOCK pipeline on a fixed tiny synthetic
+    trajectory over an ``n_devices`` global mesh and return its results.
+
+    Process-count agnostic by construction: the same function body runs
+    in a single process over a virtual mesh AND under a 2-process
+    ``jax.distributed`` cluster (tests/test_multihost.py compares the two
+    trajectories — BASELINE.md config 5's multi-host execution of the
+    flagship pipeline, not a toy psum).  All host<->device traffic is
+    multi-process-safe: state is created on-device by the jitted init,
+    depth frames enter as uncommitted (replicated) numpy arrays, and only
+    fully-replicated outputs (pose, aux counters) are fetched.
+    """
+    import dataclasses
+
+    from topfusion_tpu.config import (
+        BlockMapConfig,
+        CameraConfig,
+        ICPConfig,
+        PipelineConfig,
+        PreprocConfig,
+        RaycastConfig,
+        TSDFConfig,
+    )
+    from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
+    from topfusion_tpu.parallel.block_sharded import (
+        ShardedBlockPipeline,
+        make_mesh,
+    )
+
+    nd = n_devices or len(jax.devices())
+    cam = CameraConfig(width=64, height=48, fx=48.0, fy=48.0, cx=32.0, cy=24.0)
+    cfg = PipelineConfig(
+        camera=cam,
+        preproc=PreprocConfig(bilateral_kernel_size=3, pyramid_levels=2),
+        icp=ICPConfig(iters=(3, 2), level0_stride=1),
+        tsdf=TSDFConfig(voxel_size=0.01, trunc_dist=0.04),
+        blockmap=BlockMapConfig(
+            capacity=512 * nd,
+            max_new_blocks_per_frame=256 * nd,
+            max_visible_blocks=256 * nd,
+            alloc_pixel_stride=1,
+        ),
+        raycast=RaycastConfig(max_steps=48),
+    )
+
+    scene = SyntheticScene()
+    gt = orbit_trajectory(n_frames, max_angle_deg=2.0, max_shift=0.02, seed=7)
+    # Render on the local default device, fetch to host: frames enter the
+    # global computation as replicated numpy inputs.
+    frames = [
+        np.asarray(scene.render_depth_mm(cam, jnp.asarray(T, jnp.float32)))
+        for T in gt
+    ]
+
+    mesh = make_mesh(nd)
+    pipe = ShardedBlockPipeline(cfg, mesh)
+    state = pipe.init()
+    poses = []
+    for f in frames:
+        state, aux = pipe.step(state, f)
+        assert bool(np.asarray(aux.ok)), "sharded demo lost tracking"
+        poses.append(np.asarray(state.T_wc))
+    return {
+        "poses": np.stack(poses),
+        "num_blocks": int(np.asarray(aux.num_blocks)),
+        "num_visible": int(np.asarray(aux.num_visible)),
+    }
+
+
 def measure_scaling(cfg, n_frames: int = 8, device_counts=(1, None)) -> dict:
     """Fused frames/s of the sharded dense pipeline at different mesh sizes.
 
