@@ -77,6 +77,10 @@ class BlockStepAux(NamedTuple):
     # capacity-pressure signal (reference silently restores the free-list
     # counter, SceneReconstructionEngine_host.cu:374-381).
     blocks_dropped: jnp.ndarray
+    # Voxels the Pallas integrate kernel's aligned-window guard skipped
+    # this frame (0 on the XLA path and on all in-design configurations;
+    # nonzero = silent under-integration, e.g. narrow-FOV camera).
+    integrate_skipped: jnp.ndarray
 
 
 class BlockPipeline:
@@ -178,14 +182,16 @@ class BlockPipeline:
                 integrate_blocks_pallas,
             )
 
-            m, n_vis, fused_blocks = integrate_blocks_pallas(
+            m, n_vis, fused_blocks, n_skipped = integrate_blocks_pallas(
                 m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis,
-                return_blocks=True,
+                return_blocks=True, return_skipped=True,
             )
         else:
             m, n_vis = integrate_blocks(
                 m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, vis
             )
+            # The XLA path gathers depth per voxel; it has no window guard.
+            n_skipped = jnp.asarray(0, jnp.int32)
         if cfg.tsdf.use_color and rgb is not None:
             m = integrate_color_blocks(
                 m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, rgb, vis
@@ -243,6 +249,7 @@ class BlockPipeline:
             blocks_allocated=n_alloc,
             num_visible=n_vis,
             blocks_dropped=ainfo.n_dropped,
+            integrate_skipped=n_skipped,
         )
         return new_state, aux
 

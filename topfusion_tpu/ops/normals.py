@@ -23,9 +23,12 @@ def compute_points_normals(
     """Depth [H, W] meters -> (points [H, W, 3], normals [H, W, 3]),
     camera space.
 
-    Normal at (y, x) = -normalize(cross(v(y, x+1) - v, v(y+1, x) - v)),
-    valid iff all three depths valid (reference: imgproc.cu:229-242); the
-    negation orients normals toward the camera (-z half-space).
+    Normal at (y, x) = normalize(cross(v(y, x+1) - v, v(y+1, x) - v))
+    oriented toward the camera, valid iff all three depths valid
+    (reference: imgproc.cu:229-242 hardcodes a negation — equivalent for
+    the usual fy > 0, but the ICL-NUIM raw convention has fy < 0, which
+    flips the image-space "down" direction in camera space; the explicit
+    toward-origin orientation handles both, tests/test_negative_fy.py).
     """
     pts = backproject_grid(cam, depth)
     v00 = pts
@@ -33,10 +36,14 @@ def compute_points_normals(
     v10 = _shifted(pts, 1, 0)
     valid = (depth > 0.0) & (_shifted(depth, 0, 1) > 0.0) & (_shifted(depth, 1, 0) > 0.0)
 
-    n = -jnp.cross(v01 - v00, v10 - v00)
+    n = jnp.cross(v01 - v00, v10 - v00)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = n / jnp.maximum(norm, 1e-12)
     valid = valid & (norm[..., 0] > 1e-12)
+    # Orient toward the camera (points are in camera space; a visible
+    # surface faces the origin).
+    flip = jnp.sum(n * v00, axis=-1) > 0.0
+    n = jnp.where(flip[..., None], -n, n)
 
     points = jnp.where(valid[..., None], v00, 0.0)
     normals = jnp.where(valid[..., None], n, 0.0)

@@ -112,12 +112,16 @@ def _fuse_one_block(
     vr = jnp.clip(vi - v0, 0, win_h - 1)
     # A voxel whose projection falls outside the window cannot be
     # sampled; skip its update (footprint analysis in the module doc says
-    # this never triggers at VGA/5 mm, it is a correctness guard).
-    in_bounds = (
-        in_bounds
-        & (ui >= u0) & (ui < u0 + win_w)
+    # this never triggers at VGA/5 mm, it is a correctness guard).  Every
+    # skip is COUNTED and surfaced per frame (BlockStepAux
+    # integrate_skipped) so silent under-integration on off-design
+    # configurations (narrow FOV, larger blocks) is observable.
+    in_window = (
+        (ui >= u0) & (ui < u0 + win_w)
         & (vi >= v0) & (vi < v0 + win_h)
     )
+    n_skipped = jnp.sum((in_bounds & ~in_window).astype(jnp.float32))
+    in_bounds = in_bounds & in_window
     # One-hot u-selection as a batched MXU contraction, staying 3-D:
     #   mid[r, q, vh] = sum_w (ur[r, q] == w) * win[vh, w]
     cols_u = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz, win_w), 2)
@@ -142,6 +146,7 @@ def _fuse_one_block(
     w_new = jnp.minimum(w_old + 1.0, maxw)
     tsdf_out[g] = jnp.where(update, fused, tsdf_old).astype(tsdf_out.dtype)
     w_out[g] = jnp.where(update, w_new, w_old).astype(w_out.dtype)
+    return n_skipped
 
 
 def _kernel(
@@ -155,13 +160,17 @@ def _kernel(
     params_ref,     # [1, 24] f32
     tsdf_out,       # [G, B, B*B]
     w_out,
+    skip_out,       # [1, SKIP_LANES] f32 — this step's window-skip count
     **kw,
 ):
+    total = jnp.float32(0.0)
     for g in range(tsdf_ref.shape[0]):
-        _fuse_one_block(
+        total = total + _fuse_one_block(
             coords_ref, uv0_ref, tsdf_ref, w_ref, depth_ref, params_ref,
             tsdf_out, w_out, g=g, **kw,
         )
+    lane = lax.broadcasted_iota(jnp.int32, skip_out.shape, 1)
+    skip_out[...] = jnp.where(lane == 0, total, 0.0)
 
 
 def _window_origins(
@@ -229,12 +238,18 @@ def integrate_blocks_pallas(
     vis: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     interpret: bool = False,
     return_blocks: bool = False,
+    return_skipped: bool = False,
+    window: Tuple[int, int] | None = None,
 ):
     """Drop-in replacement for ops/tsdf_block.integrate_blocks.
 
     With ``return_blocks`` also returns the fused ``[V, B, B*B]``
     (tsdf, weight) working-set tensors so downstream consumers (splat)
-    skip their own pool gather.
+    skip their own pool gather.  With ``return_skipped`` additionally
+    returns the number of voxels the aligned-window guard silently
+    skipped this frame (must be 0 on in-design configurations; asserted
+    at VGA in tests/test_pallas_integrate.py).  ``window`` overrides the
+    (win_h, win_w) defaults — used by tests to force the guard to fire.
     """
     slots, coords, mask = vis
     bsz = bm_cfg.block_size
@@ -265,8 +280,9 @@ def integrate_blocks_pallas(
 
     blk_t, blk_w = gather_visible_blocks(m, vis)
     dtype = m.tsdf.dtype
-    win_h = min(_WIN_H, h - h % 8 if h % 8 else h)
-    win_w = min(_WIN_W, w)
+    base_h, base_w = window if window is not None else (_WIN_H, _WIN_W)
+    win_h = min(base_h, h - h % 8 if h % 8 else h)
+    win_w = min(base_w, w)
     uv0 = _window_origins(
         coords, cam, tsdf_cfg, bsz * tsdf_cfg.voxel_size,
         win_h, win_w, h, w, T_cw,
@@ -285,22 +301,25 @@ def integrate_blocks_pallas(
         out_specs=[
             pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
             pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
+            pl.BlockSpec((1, 128), lambda i, c, uv: (i, 0)),
         ],
     )
 
     kernel = functools.partial(
         _kernel, bsz=bsz, h=h, w=w, win_h=win_h, win_w=win_w,
     )
-    fused_t, fused_w = pl.pallas_call(
+    fused_t, fused_w, skip_steps = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(blk_t.shape, dtype),
             jax.ShapeDtypeStruct(blk_w.shape, dtype),
+            jax.ShapeDtypeStruct((V // G, 128), jnp.float32),
         ),
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )(coords.T, uv0, blk_t, blk_w, depth, params)
+    n_skipped = jnp.sum(skip_steps).astype(jnp.int32)
 
     # One row-scatter back; padded entries land on the sacrificial row.
     shape3 = (cap + 1, bsz, bsz * bsz)
@@ -314,6 +333,9 @@ def integrate_blocks_pallas(
         .reshape(m.weight.shape),
     )
     n_vis = jnp.sum(mask.astype(jnp.int32))
+    out = (m, n_vis)
     if return_blocks:
-        return m, n_vis, (fused_t, fused_w)
-    return m, n_vis
+        out = out + ((fused_t, fused_w),)
+    if return_skipped:
+        out = out + (n_skipped,)
+    return out

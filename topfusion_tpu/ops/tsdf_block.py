@@ -126,8 +126,10 @@ def _block_frustum_mask(
     uv, z = project(cam, centers_cam)
     # Projected radius margin in pixels (guard small z).
     zs = jnp.maximum(z, tsdf_cfg.view_frustum_min * 0.5)
-    ru = radius / zs * cam.fx
-    rv = radius / zs * cam.fy
+    # |f|: the margin is a pixel radius — sign-free (ICL-NUIM's raw
+    # convention has fy < 0; a signed rv would flip the bound sense).
+    ru = radius / zs * abs(cam.fx)
+    rv = radius / zs * abs(cam.fy)
     return (
         (z > tsdf_cfg.view_frustum_min - radius)
         & (z < tsdf_cfg.view_frustum_max + radius)

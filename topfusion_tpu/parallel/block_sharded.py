@@ -316,6 +316,8 @@ class ShardedBlockPipeline:
             blocks_allocated=lax.psum(n_alloc, axis),
             num_visible=lax.psum(n_vis, axis),
             blocks_dropped=lax.psum(ainfo.n_dropped, axis),
+            # Sharded path integrates via XLA (no window guard).
+            integrate_skipped=jnp.asarray(0, jnp.int32),
         )
         return new_state, aux
 
