@@ -19,6 +19,7 @@ import pytest
 from topfusion_tpu.config import PoseGraphConfig
 from topfusion_tpu.geometry.se3 import se3_exp, se3_inverse
 from topfusion_tpu.models.posegraph import (
+    DESC_DIM,
     PoseGraph,
     edge_residuals,
     optimize,
@@ -75,6 +76,7 @@ def make_ring_graph(K, E_cap, noise=0.01, seed=0, loops_every=16):
         kf_points=jnp.zeros((K, 1, 1, 3), jnp.float32),
         kf_normals=jnp.zeros((K, 1, 1, 3), jnp.float32),
         kf_frame=jnp.arange(K, dtype=jnp.int32),
+        kf_desc=jnp.zeros((K, DESC_DIM), jnp.float32),
         num_kf=jnp.asarray(K, jnp.int32),
         edge_i=jnp.asarray(padE(edges_i, (), 0)),
         edge_j=jnp.asarray(padE(edges_j, (), 0)),

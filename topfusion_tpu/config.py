@@ -265,6 +265,15 @@ class PoseGraphConfig:
     loop_edge_weight: float = 0.25
     loop_candidate_window: int = 5             # recent kfs excluded from loops
     loop_max_dist: float = 0.5                 # meters between kf positions
+    # Appearance-aware candidate selection: rank candidates by keyframe
+    # descriptor similarity (depth/normal histograms of the stored coarse
+    # maps, posegraph.kf_descriptor) under a pose gate widened by
+    # loop_appearance_dist_factor.  Pose-only ranking fails exactly when
+    # accumulated drift exceeds loop_max_dist — the drifted position of a
+    # true revisit falls outside the gate (tests/test_loop_appearance.py
+    # constructs that failure).  ICP verification remains the arbiter.
+    loop_appearance: bool = True
+    loop_appearance_dist_factor: float = 4.0
     # Number of nearest candidate keyframes ICP-verified per loop check
     # (vmapped — constant compile cost); the best verified candidate by
     # inlier count wins.  Revisits at different viewing angles often fail
