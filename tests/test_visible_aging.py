@@ -32,7 +32,8 @@ def test_allocate_touched_and_dropped():
                        return_touched=True)
     n_uniq = len(set(map(tuple, np.asarray(coords).tolist())))
     assert int(info.n_inserted) == n_uniq
-    assert int(info.n_dropped) == 0
+    assert int(info.n_dropped_capacity) == 0
+    assert int(info.n_dropped_deferred) == 0
     # Touched = everything inserted (map was empty).
     t = np.asarray(info.touched_slots)
     assert (t >= 0).sum() == n_uniq
@@ -56,7 +57,8 @@ def test_allocate_touched_and_dropped():
     m3, info3 = allocate(m3, coords3, jnp.ones(64, bool), small,
                          return_touched=True)
     assert int(info3.n_inserted) == 8
-    assert int(info3.n_dropped) == 64 - 8
+    assert int(info3.n_dropped_deferred) == 64 - 8
+    assert int(info3.n_dropped_capacity) == 0
 
 
 def _dolly_trajectory(n):

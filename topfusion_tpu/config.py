@@ -203,6 +203,13 @@ class BlockMapConfig:
     # shape (setToType3, SceneReconstructionEngine_host.cu:343-348).
     # Free-view renders and post-reset refreshes always full-rescan.
     visible_aging: bool = True
+    # The aged set structurally misses blocks that RE-ENTER the frustum
+    # without being depth-touched (occluded band, truncated range,
+    # alloc-stride gaps) — measured collapse on a backward dolly through
+    # mapped territory (tests/test_swap.py).  A periodic in-graph full
+    # rescan (lax.cond, every N frames) bounds that staleness; amortized
+    # cost = O(capacity / N) per frame.
+    visible_rescan_every: int = 8
     # Voxel pool storage dtype.  "bfloat16" is the Voxel_s analogue
     # (reference packs sdf into int16 + uint8 weight, VoxelTypes.hpp:69-92):
     # it halves HBM traffic for integrate/splat/raycast.  All arithmetic

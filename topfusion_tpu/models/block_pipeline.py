@@ -14,6 +14,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from topfusion_tpu.config import PipelineConfig
 from topfusion_tpu.ops.depth import preprocess_depth
@@ -72,10 +73,12 @@ class BlockStepAux(NamedTuple):
     num_blocks: jnp.ndarray
     blocks_allocated: jnp.ndarray
     num_visible: jnp.ndarray
-    # New unique blocks the allocator could NOT insert this frame
-    # (per-frame bound / pool exhaustion / bucket overflow) — the
-    # capacity-pressure signal (reference silently restores the free-list
-    # counter, SceneReconstructionEngine_host.cu:374-381).
+    # New unique blocks rejected by the per-frame bound or POOL
+    # EXHAUSTION this frame — the capacity-pressure signal (reference
+    # silently restores the free-list counter,
+    # SceneReconstructionEngine_host.cu:374-381).  W-way bucket-overflow
+    # drops are excluded: they self-heal next frame (AllocInfo separates
+    # the two causes).
     blocks_dropped: jnp.ndarray
     # Voxels the Pallas integrate kernel's aligned-window guard skipped
     # this frame (0 on the XLA path and on all in-design configurations;
@@ -110,6 +113,21 @@ class BlockPipeline:
             vis_slots=jnp.full(
                 (cfg.blockmap.max_visible_blocks,), -1, jnp.int32
             ),
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def write_map(state: BlockState, m: BlockMap) -> BlockState:
+        """Replace the map fields of a state (the out-of-core swap layer
+        mutates the map between steps; models/host_cache.py)."""
+        return state._replace(
+            bucket_keys=m.bucket_keys,
+            bucket_slots=m.bucket_slots,
+            block_coords=m.block_coords,
+            tsdf=m.tsdf,
+            weight=m.weight,
+            num_blocks=m.num_blocks,
+            color=m.color,
         )
 
     # ------------------------------------------------------------------
@@ -168,11 +186,20 @@ class BlockPipeline:
         if cfg.blockmap.visible_aging:
             # Aged visible set: last frame's list (wiped on reset) +
             # this frame's allocation-touched blocks — O(visible+touched)
-            # instead of O(capacity).
+            # instead of O(capacity).  Every N-th frame a full rescan
+            # refreshes it (lax.cond — one branch executes), catching
+            # blocks that re-entered the frustum unobserved.
             prev = jnp.where(do_reset, -1, state.vis_slots)
-            vis = visible_blocks_incremental(
-                m, cam, cfg.tsdf, cfg.blockmap, T_int,
-                prev, ainfo.touched_slots,
+            n_rescan = max(cfg.blockmap.visible_rescan_every, 1)
+            vis = lax.cond(
+                (state.frame % n_rescan == 0) | do_reset,
+                lambda: visible_blocks(
+                    m, cam, cfg.tsdf, cfg.blockmap, T_int
+                ),
+                lambda: visible_blocks_incremental(
+                    m, cam, cfg.tsdf, cfg.blockmap, T_int,
+                    prev, ainfo.touched_slots,
+                ),
             )
         else:
             vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
@@ -248,7 +275,7 @@ class BlockPipeline:
             num_blocks=m.num_blocks,
             blocks_allocated=n_alloc,
             num_visible=n_vis,
-            blocks_dropped=ainfo.n_dropped,
+            blocks_dropped=ainfo.n_dropped_capacity,
             integrate_skipped=n_skipped,
         )
         return new_state, aux

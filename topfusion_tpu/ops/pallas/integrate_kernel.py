@@ -160,7 +160,7 @@ def _kernel(
     params_ref,     # [1, 24] f32
     tsdf_out,       # [G, B, B*B]
     w_out,
-    skip_out,       # [1, SKIP_LANES] f32 — this step's window-skip count
+    skip_out,       # [1, 8, 128] f32 — this step's window-skip count at [0,0,0]
     **kw,
 ):
     total = jnp.float32(0.0)
@@ -169,8 +169,9 @@ def _kernel(
             coords_ref, uv0_ref, tsdf_ref, w_ref, depth_ref, params_ref,
             tsdf_out, w_out, g=g, **kw,
         )
-    lane = lax.broadcasted_iota(jnp.int32, skip_out.shape, 1)
-    skip_out[...] = jnp.where(lane == 0, total, 0.0)
+    sub = lax.broadcasted_iota(jnp.int32, skip_out.shape[1:], 0)
+    lane = lax.broadcasted_iota(jnp.int32, skip_out.shape[1:], 1)
+    skip_out[0] = jnp.where((sub == 0) & (lane == 0), total, 0.0)
 
 
 def _window_origins(
@@ -301,7 +302,7 @@ def integrate_blocks_pallas(
         out_specs=[
             pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
             pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
-            pl.BlockSpec((1, 128), lambda i, c, uv: (i, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i, c, uv: (i, 0, 0)),
         ],
     )
 
@@ -314,7 +315,7 @@ def integrate_blocks_pallas(
         out_shape=(
             jax.ShapeDtypeStruct(blk_t.shape, dtype),
             jax.ShapeDtypeStruct(blk_w.shape, dtype),
-            jax.ShapeDtypeStruct((V // G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((V // G, 8, 128), jnp.float32),
         ),
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,

@@ -264,11 +264,20 @@ class ShardedBlockPipeline:
         n_alloc = ainfo.n_inserted
         if cfg.blockmap.visible_aging:
             # Shard-local aging: this shard's previous visible list +
-            # its ownership-filtered touched blocks.
+            # its ownership-filtered touched blocks, with the same
+            # periodic full-rescan staleness bound as the single-device
+            # path (models/block_pipeline.py).
             prev = jnp.where(do_reset, -1, state.vis_slots)
-            vis = visible_blocks_incremental(
-                m, cam, cfg.tsdf, cfg.blockmap, T_int,
-                prev, ainfo.touched_slots,
+            n_rescan = max(cfg.blockmap.visible_rescan_every, 1)
+            vis = lax.cond(
+                (state.frame % n_rescan == 0) | do_reset,
+                lambda: visible_blocks(
+                    m, cam, cfg.tsdf, cfg.blockmap, T_int
+                ),
+                lambda: visible_blocks_incremental(
+                    m, cam, cfg.tsdf, cfg.blockmap, T_int,
+                    prev, ainfo.touched_slots,
+                ),
             )
         else:
             vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
@@ -315,7 +324,7 @@ class ShardedBlockPipeline:
             num_blocks=lax.psum(m.num_blocks, axis),
             blocks_allocated=lax.psum(n_alloc, axis),
             num_visible=lax.psum(n_vis, axis),
-            blocks_dropped=lax.psum(ainfo.n_dropped, axis),
+            blocks_dropped=lax.psum(ainfo.n_dropped_capacity, axis),
             # Sharded path integrates via XLA (no window guard).
             integrate_skipped=jnp.asarray(0, jnp.int32),
         )
