@@ -130,6 +130,46 @@ def test_insert_merges_when_reallocated():
     np.testing.assert_allclose(np.asarray(m2.weight)[0], 40.0, atol=1e-6)
 
 
+def test_slam_system_out_of_core_smoke():
+    """Product surface: SlamSystem with blockmap.out_of_core=True runs a
+    chunked corridor sweep, spills under pressure, and keeps tracking."""
+    from topfusion_tpu.models.slam import SlamSystem
+
+    base = tiny_test_config()
+    base = dataclasses.replace(
+        base,
+        tsdf=dataclasses.replace(base.tsdf, view_frustum_max=2.0),
+        blockmap=dataclasses.replace(
+            base.blockmap, capacity=1 << 11, max_visible_blocks=1 << 11,
+            out_of_core=True,
+        ),
+    )
+    from topfusion_tpu.geometry.se3 import se3_exp as _se3exp
+
+    pitch = np.asarray(
+        _se3exp(jnp.asarray([0.35, 0, 0, 0, 0, 0], jnp.float32))
+    )
+    scene = corridor_scene(length_m=6.5, box_every=0.35)
+    gt = [T @ pitch for T in sweep_trajectory(24, step_m=0.06)]
+    frames = np.stack(
+        [
+            np.asarray(
+                scene.render_depth_mm(base.camera, jnp.asarray(T, jnp.float32))
+            )
+            for T in gt
+        ]
+    )
+
+    slam = SlamSystem(base)
+    assert slam.swap is not None
+    ke = base.posegraph.keyframe_every
+    infos = []
+    for s in range(0, len(frames) - len(frames) % ke, ke):
+        infos += slam.process_chunk(frames[s : s + ke])
+    assert all(i["ok"] for i in infos[1:])
+    assert slam.swap.n_host_blocks > 0, "never spilled despite pressure"
+
+
 def test_corridor_sweep_beyond_capacity_matches_uncapped():
     """THE acceptance test: a corridor sweep whose cumulative block count
     exceeds the capped pool reconstructs (with host spill + restore) at

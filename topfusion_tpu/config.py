@@ -210,6 +210,13 @@ class BlockMapConfig:
     # rescan (lax.cond, every N frames) bounds that staleness; amortized
     # cost = O(capacity / N) per frame.
     visible_rescan_every: int = 8
+    # Out-of-core block pool: spill cold blocks (LRU by last-visible
+    # frame) to a host store and restore them on frustum re-entry — the
+    # GlobalCache analogue (reference scaffold: GlobalCache.hpp:22-134,
+    # never enabled there).  Effective scene capacity becomes host RAM;
+    # ops/swap.py + models/host_cache.py; wired through SlamSystem and
+    # apps/run_fusion.py (--set blockmap.out_of_core=true).
+    out_of_core: bool = False
     # Voxel pool storage dtype.  "bfloat16" is the Voxel_s analogue
     # (reference packs sdf into int16 + uint8 weight, VoxelTypes.hpp:69-92):
     # it halves HBM traffic for integrate/splat/raycast.  All arithmetic

@@ -73,6 +73,13 @@ class SlamSystem:
         self.loops_closed: int = 0
         self.reintegrations: int = 0
         self.frame_idx: int = 0
+        # Out-of-core host cache (GlobalCache analogue): spill cold
+        # blocks between chunks, restore on frustum re-entry.
+        self.swap = None
+        if cfg.blockmap.out_of_core:
+            from topfusion_tpu.models.host_cache import HostBlockCache
+
+            self.swap = HostBlockCache(cfg.blockmap, cfg.tsdf, cfg.camera)
 
     # ------------------------------------------------------------------
     def _kf_maps_impl(self, depth_mm):
@@ -296,6 +303,18 @@ class SlamSystem:
         depths = jnp.asarray(depths)
         n = depths.shape[0]
 
+        if self.swap is not None:
+            # Restore host-cached blocks visible from the last pose (one
+            # insert dispatch; lag = one chunk, tolerated like the
+            # model-map lag).
+            T_pred = (
+                self.odom_poses[-1]
+                if self.odom_poses
+                else np.eye(4, dtype=np.float32)
+            )
+            m = self.swap.before_step(self.state.block_map(), T_pred)
+            self.state = self.pipe.write_map(self.state, m)
+
         out = self._chunk(
             self.state,
             self.graph,
@@ -308,6 +327,24 @@ class SlamSystem:
         self.state, self.graph, self.kf_depth_buf = out[0], out[1], out[2]
         # ONE host sync per chunk: stacked poses + aux + two scalars.
         poses, auxs, found, added = jax.device_get(out[3:])
+
+        if self.swap is not None:
+            # Recency update + eviction under capacity pressure; remap
+            # the aged visible list if the pool was compacted.
+            m, remap = self.swap.after_step(
+                self.state.block_map(), np.asarray(self.state.vis_slots)
+            )
+            if remap is not None:
+                vs = np.asarray(self.state.vis_slots)
+                rn = np.asarray(remap)
+                vs = np.where(
+                    vs >= 0, rn[np.clip(vs, 0, len(rn) - 1)], -1
+                )
+                self.state = self.pipe.write_map(self.state, m)._replace(
+                    vis_slots=jnp.asarray(vs, jnp.int32)
+                )
+            else:
+                self.state = self.pipe.write_map(self.state, m)
         found, added = bool(found), bool(added)
 
         infos = []
@@ -357,6 +394,12 @@ class SlamSystem:
                 self.kf_odom_poses[-1] = kf_opt_last
                 self.reintegrations += 1
                 infos[0]["reintegrated"] = True
+                if self.swap is not None:
+                    # The map was rebuilt in the CORRECTED frame from the
+                    # keyframe depths; host-cached blocks (odometry
+                    # frame) are stale — drop them and restart recency.
+                    self.swap.store.clear()
+                    self.swap.last_seen[:] = 0
         return infos
 
     # ------------------------------------------------------------------
