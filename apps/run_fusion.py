@@ -59,6 +59,10 @@ def main() -> int:
                     help="save a rendered view every N frames")
     ap.add_argument("--no-posegraph", action="store_true",
                     help="odometry only (no keyframes/loop closure)")
+    ap.add_argument("--video", action="store_true",
+                    help="write out/video.gif from per-chunk raycast "
+                    "renders (the reference's live display analogue, "
+                    "reference: apps/demo.cpp:106-115)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -203,6 +207,7 @@ def main() -> int:
     frames_after_first = 0
     done = 0
     next_render = 0
+    video_frames = []
     for depth_chunk, rgb_chunk in chunks():
         if args.max_frames and done >= args.max_frames:
             break
@@ -221,6 +226,8 @@ def main() -> int:
             t_after_first = time.perf_counter()
         else:
             frames_after_first += n
+        if args.video:
+            video_frames.append(np.asarray(slam.render()))
         if args.render_every and done > next_render:
             next_render = done + args.render_every - 1
             import imageio.v3 as iio
@@ -256,6 +263,17 @@ def main() -> int:
     )
     n_pts = save_ply(os.path.join(args.out, "cloud.ply"), pc)
     print(f"extracted {n_pts} surface points -> cloud.ply")
+
+    if args.video and video_frames:
+        import imageio.v3 as iio
+
+        # One raycast view per chunk; GIF (no ffmpeg in this image).
+        iio.imwrite(
+            os.path.join(args.out, "video.gif"),
+            np.stack(video_frames),
+            fps=5,
+        )
+        print(f"{len(video_frames)}-frame render video -> video.gif")
 
     if args.rgb:
         import imageio.v3 as iio

@@ -13,7 +13,6 @@ reduction over the device mesh) lives in parallel/dist_ba.py.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

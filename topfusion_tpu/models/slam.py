@@ -25,7 +25,7 @@ matches on the product surface, not just in the bench.)
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ for parity review):
 
 from __future__ import annotations
 
-import functools
 from typing import List, Tuple
 
 import jax.numpy as jnp
