@@ -28,7 +28,7 @@ import numpy as np
 BASELINE_FPS = 30.0
 
 
-def make_cfg():
+def make_cfg(pool_dtype: str = "float32"):
     from topfusion_tpu.config import (
         BlockMapConfig,
         CameraConfig,
@@ -51,6 +51,7 @@ def make_cfg():
         # cost scales with this bound.
         blockmap=BlockMapConfig(
             max_visible_blocks=1 << 12,
+            pool_dtype=pool_dtype,
             # Fused Pallas integration (streams pool blocks through VMEM
             # via scalar-prefetched index maps; no gather/scatter).
             use_pallas_integrate=True,
@@ -65,7 +66,7 @@ def _sync(s):
     return np.asarray(s.T_wc[0, 0])
 
 
-def bench_orbit() -> dict:
+def bench_orbit(pool_dtype: str = "float32") -> dict:
     """Steady-state scenario: a small orbit whose block working set
     saturates after warmup — integration/splat/ICP dominate, allocation
     is near-idle."""
@@ -75,7 +76,7 @@ def bench_orbit() -> dict:
     from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
     from topfusion_tpu.models.block_pipeline import BlockPipeline
 
-    cfg = make_cfg()
+    cfg = make_cfg(pool_dtype)
     cam = cfg.camera
     scene = SyntheticScene()
     poses = orbit_trajectory(8, max_angle_deg=3.0, max_shift=0.03, seed=1)
@@ -119,7 +120,8 @@ def bench_orbit() -> dict:
     }
 
 
-def bench_sweep(n_frames: int = 64, chunk: int = 8) -> dict:
+def bench_sweep(n_frames: int = 64, chunk: int = 8,
+                pool_dtype: str = "float32") -> dict:
     """Allocation-stress scenario: forward sweep through a synthetic
     corridor — every chunk sees FRESH geometry, so the allocator
     (sort/unique/probe/rank/scatter) runs hot every frame instead of
@@ -133,7 +135,7 @@ def bench_sweep(n_frames: int = 64, chunk: int = 8) -> dict:
     from topfusion_tpu.io.synthetic import corridor_scene, sweep_trajectory
     from topfusion_tpu.models.block_pipeline import BlockPipeline
 
-    cfg = make_cfg()
+    cfg = make_cfg(pool_dtype)
     cam = cfg.camera
     scene = corridor_scene()
     poses = sweep_trajectory(n_frames)
@@ -192,8 +194,16 @@ def main() -> None:
         help="orbit = steady-state headline; sweep = continuous-allocation "
         "stress (corridor)",
     )
+    ap.add_argument("--pool-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="voxel pool storage dtype (bfloat16 = Voxel_s "
+                    "analogue, halves pool HBM traffic)")
     args = ap.parse_args()
-    result = bench_orbit() if args.scenario == "orbit" else bench_sweep()
+    result = (
+        bench_orbit(args.pool_dtype)
+        if args.scenario == "orbit"
+        else bench_sweep(pool_dtype=args.pool_dtype)
+    )
     print(json.dumps(result))
 
 

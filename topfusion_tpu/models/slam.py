@@ -289,7 +289,8 @@ class SlamSystem:
         _, corr = self._reint(
             out[0], g, out[2], jnp.eye(4, dtype=jnp.float32)
         )
-        jax.device_get((mv, corr))  # completion fence; results discarded
+        img = self.pipe.render(out[0])  # display raycast (app --render/--video)
+        jax.device_get((mv, corr, img[0, 0]))  # fence; results discarded
 
     # ------------------------------------------------------------------
     def process_chunk(self, depths, do_kf: bool = True, rgb=None) -> List[dict]:

@@ -256,10 +256,11 @@ class ShardedBlockPipeline:
         m = jax.tree.map(lambda a, b: jnp.where(do_reset, b, a), m, m_clean)
         raw_eff = jnp.where(do_reset, 0.0, raw_m)
 
-        # Shard-local allocation (ownership-filtered) + integration.
+        # Allocation: candidate DDA sharded over pixel-row strips
+        # (all_gather reassembles the list), insert ownership-filtered.
         m, ainfo = allocate_from_depth(
             m, cam, cfg.tsdf, cfg.blockmap, T_int, raw_eff, shard=shard,
-            return_touched=True,
+            return_touched=True, row_shard=axis,
         )
         n_alloc = ainfo.n_inserted
         if cfg.blockmap.visible_aging:
