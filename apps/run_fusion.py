@@ -32,6 +32,12 @@ import os
 import sys
 import time
 
+# Persist compiled executables across runs (remote/TPU compiles cost
+# minutes; the cache makes repeat invocations start in seconds).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_topfusion"
+)
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
