@@ -119,35 +119,41 @@ def main() -> int:
                                     max_shift=0.05, seed=2)
         chunk = args.chunk or cfg.posegraph.keyframe_every
 
-        render_chunk = jax.jit(
-            lambda Ts: jax.vmap(lambda T: scene.render_depth_mm(cam, T))(Ts)
-        )
-        render_rgb_chunk = (
-            jax.jit(
-                lambda Ts: jax.vmap(
-                    lambda T: scene.render_rgb(cam, T)
-                )(Ts)
-            )
-            if args.rgb
-            else None
+        # Per-FRAME jitted renders (a vmap-over-chunk program compiles
+        # ~10x slower on the remote compile service for zero runtime
+        # benefit here — rendering is test-data generation, not
+        # framework work; a real sensor or the native prefetch loader
+        # delivers frames concurrently with fusion).
+        render_one = jax.jit(lambda T: scene.render_depth_mm(cam, T))
+        render_rgb_one = (
+            jax.jit(lambda T: scene.render_rgb(cam, T)) if args.rgb else None
         )
 
         def _all_chunks():
-            # Pre-render the synthetic sequence to device memory UP FRONT:
-            # sphere-tracing the analytic scene is test-data generation,
-            # not framework work (a real sensor or the native prefetch
-            # loader delivers frames concurrently with fusion).
+            # Pre-render the synthetic sequence to device memory UP FRONT.
+            frames = [
+                render_one(jnp.asarray(T, jnp.float32)) for T in gt_poses
+            ]
+            rgbs = (
+                [render_rgb_one(jnp.asarray(T, jnp.float32)) for T in gt_poses]
+                if args.rgb
+                else None
+            )
             out = []
             for c0 in range(0, n_total - n_total % chunk, chunk):
-                Ts = jnp.asarray(
-                    np.stack(gt_poses[c0:c0 + chunk]), jnp.float32
+                out.append(
+                    (
+                        jnp.stack(frames[c0:c0 + chunk]),
+                        jnp.stack(rgbs[c0:c0 + chunk]) if rgbs else None,
+                    )
                 )
-                rgb = render_rgb_chunk(Ts) if args.rgb else None
-                out.append((render_chunk(Ts), rgb))
-            for T in gt_poses[n_total - n_total % chunk:]:
-                T = jnp.asarray(T, jnp.float32)[None]
-                rgb = render_rgb_chunk(T) if args.rgb else None
-                out.append((render_chunk(T), rgb))
+            for k in range(n_total - n_total % chunk, n_total):
+                out.append(
+                    (
+                        frames[k][None],
+                        rgbs[k][None] if rgbs else None,
+                    )
+                )
             # block_until_ready is unreliable over tunneled backends; a
             # tiny readback is a true completion fence.
             np.asarray(out[-1][0][0, 0, 0])
