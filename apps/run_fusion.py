@@ -87,6 +87,20 @@ def main() -> int:
 
     cfg = load_config(args.config) if args.config else PipelineConfig()
     cfg = apply_overrides(cfg, args.overrides)
+    # Fused Pallas integration on accelerator backends (the config
+    # default stays False so the CPU test mesh runs the XLA path, which
+    # the Pallas kernel is element-tested against).  Measured: the XLA
+    # per-voxel depth gather costs ~10 fps of app loop at VGA on v5e.
+    if not any("use_pallas_integrate" in o for o in args.overrides):
+        import jax as _jax
+
+        if _jax.devices()[0].platform not in ("cpu",):
+            import dataclasses as _dc
+
+            cfg = _dc.replace(
+                cfg,
+                blockmap=_dc.replace(cfg.blockmap, use_pallas_integrate=True),
+            )
     if args.rgb:
         import dataclasses as _dc
 
