@@ -50,8 +50,13 @@ def test_stream_matches_sequential_within_lag_tolerance():
     # Stage 0's pose stream: frame i tracked against maps of frame i-2.
     ate_stream = ate_rmse(list(stream), gt_np, align=False)
     assert np.isfinite(stream).all()
-    # The extra model lag costs accuracy but must stay the same order.
-    assert ate_stream <= 2.5 * ate_seq + 2e-3, (
+    # With projective association projecting into the register's splat
+    # pose (the camera that actually rendered the maps), the extra model
+    # lag costs almost nothing: measured 10.65 mm stream vs 10.89 mm
+    # sequential on this scenario.  (Before that fix the tracker
+    # projected with its own one-frame-newer pose and this bound had to
+    # be 2.5x.)
+    assert ate_stream <= 1.25 * ate_seq + 2e-3, (
         f"stream ATE {ate_stream*1000:.2f} mm vs seq {ate_seq*1000:.2f} mm"
     )
     # And it must actually track (not drift unbounded).

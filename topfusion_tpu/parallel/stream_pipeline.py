@@ -20,9 +20,10 @@ Steady-state throughput is max(stage0, stage1) instead of their sum —
 with the measured v5e stage times (docs/PERFORMANCE.md: frontend+ICP
 ~15 ms, map side ~26 ms) a projected ~1.3x over the fused single-chip
 step, bounded by the map stage.  The model maps lag the tracked frame
-by TWO frames instead of one; frame-to-model tracking tolerates the
-extra lag at sensor frame rates (tested: ATE stays within ~2x of the
-sequential pipeline on the orbit scenario, tests/test_stream_pipeline.py).
+by TWO frames instead of one; with the association projected into the
+register's splat pose (see stage_track) the extra lag is nearly free:
+measured ATE parity (0.98x) with the sequential pipeline on the orbit
+scenario (tests/test_stream_pipeline.py asserts <= 1.25x).
 
 Trade-offs (documented, not hidden): the shard_map program is uniform,
 so both devices carry the full BlockState — stage 0's map copy is dead
@@ -151,8 +152,16 @@ class StreamBlockPipeline:
             # Model maps from the register (frame t-2); pipeline fill
             # (first two frames) tracks at the carried pose.
             bootstrap = st.frame < 2
+            # T_model = the pose the register's maps were SPLATTED from
+            # (rg.pose, frame t-2) — not this stage's own last pose
+            # (frame t-1): projective association projects into the
+            # camera that rendered the model image, and in the streaming
+            # topology that camera lags one frame further than the
+            # tracker's (sequential pipelines pass the same pose twice
+            # because there the two coincide).
+            T_model = jnp.where(rg.valid, rg.pose, st.T_wc)
             icp = icp_track(
-                cam, cfg.icp, st.T_wc, st.T_wc,
+                cam, cfg.icp, st.T_wc, T_model,
                 cp, cn, list(rg.maps_p), list(rg.maps_n),
             )
             T_new = jnp.where(bootstrap | ~icp.ok, st.T_wc, icp.T_wc)
