@@ -110,3 +110,40 @@ def test_pallas_integrate_untouched_blocks_preserved():
     assert int(n) == 0
     np.testing.assert_array_equal(np.asarray(m_pal.tsdf), np.asarray(m.tsdf))
     np.testing.assert_array_equal(np.asarray(m_pal.weight), np.asarray(m.weight))
+
+
+def test_pallas_integrate_matches_xla_int16():
+    # Fixed-point pool (int16 Voxel_s encoding): the kernel's in-kernel
+    # decode/round/encode must agree with the XLA path's pool codec to
+    # the last quantum.
+    import dataclasses
+
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, blockmap=dataclasses.replace(cfg.blockmap, pool_dtype="int16")
+    )
+    scene = SyntheticScene()
+    pipe = BlockPipeline(cfg)
+    state = pipe.init()
+    d0 = scene.render_depth_mm(cfg.camera, jnp.eye(4))
+    state, _ = pipe.step(state, d0)
+    m = state.block_map()
+    assert m.tsdf.dtype == jnp.int16
+    raw, _ = preprocess_depth(d0, cfg.preproc)
+
+    vis = visible_blocks(m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4))
+    m_ref, n_ref = integrate_blocks(
+        m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4), raw, vis
+    )
+    m_pal, n_pal = integrate_blocks_pallas(
+        m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4), raw, vis,
+        interpret=True,
+    )
+    assert int(n_ref) == int(n_pal)
+    t_ref = np.asarray(m_ref.tsdf, np.int32)
+    t_pal = np.asarray(m_pal.tsdf, np.int32)
+    w_ref = np.asarray(m_ref.weight, np.int32)
+    w_pal = np.asarray(m_pal.weight, np.int32)
+    assert np.array_equal(w_pal, w_ref)
+    # f32 rounding of identical arithmetic: allow 1 quantum of slack.
+    assert np.abs(t_pal - t_ref).max() <= 1

@@ -129,3 +129,85 @@ def test_bf16_raycast_parity(both_runs):
     # a voxel (the maps were also built along slightly different
     # trajectories, so this bounds the whole-system divergence).
     assert np.median(dd) < cfg32.tsdf.voxel_size * 0.5
+
+
+# --------------------------------------------------------------- int16
+# Fixed-point pool: the reference's ACTUAL Voxel_s encoding (sdf scaled
+# by 32767 into int16, valueToFloat/floatToValue, reference:
+# VoxelTypes.hpp:69-92).  Same bandwidth as bfloat16 at ~4.5 significant
+# digits — the bounds below are accordingly TIGHTER than the bf16 ones.
+
+
+@pytest.fixture(scope="module")
+def i16_runs():
+    gt, est32, st32 = run(make_cfg("float32"))
+    _, esti, sti = run(make_cfg("int16"))
+    return gt, est32, st32, esti, sti
+
+
+def test_i16_pool_dtype(i16_runs):
+    _, _, _, _, sti = i16_runs
+    assert sti.tsdf.dtype == jnp.int16
+    assert sti.weight.dtype == jnp.int16
+
+
+def test_i16_tracking_parity(i16_runs):
+    gt, est32, _, esti, _ = i16_runs
+    a32 = ate_rmse(est32, gt, align=False)
+    ai = ate_rmse(esti, gt, align=False)
+    # Fixed-point storage is accuracy-indistinguishable from f32
+    # (measured 8.35 vs 8.85 mm on this orbit — the bf16 bound is 2 mm).
+    assert ai < 0.012
+    assert abs(ai - a32) < 0.001
+    dt = [
+        np.linalg.norm(e32[:3, 3] - ei[:3, 3])
+        for e32, ei in zip(est32, esti)
+    ]
+    assert max(dt) < 0.005  # half a voxel on this config
+
+
+def test_i16_weights_are_exact_integers(i16_runs):
+    _, _, _, _, sti = i16_runs
+    w = np.asarray(sti.weight.astype(jnp.float32))
+    live = w > 0
+    assert live.any()
+    assert np.all(w[live] == np.round(w[live]))
+    assert w.max() <= 6.0
+
+
+def test_i16_unintegrated_space_reads_free():
+    # A fresh int16 map must read semantic tsdf = 1.0 everywhere the
+    # hash misses AND on allocated-but-unfused voxels (encoded 32767).
+    from topfusion_tpu.ops.blockmap import (
+        make_block_map, read_voxels_nearest,
+    )
+
+    cfg = make_cfg("int16")
+    m = make_block_map(cfg.blockmap)
+    t, w, found = read_voxels_nearest(
+        m, jnp.asarray([[5, 5, 5]]), cfg.blockmap.coord_bits
+    )
+    assert float(t[0]) == 1.0 and float(w[0]) == 0.0 and not bool(found[0])
+    assert int(np.asarray(m.tsdf)[0, 0, 0, 0]) == 32767
+
+
+def test_i16_raycast_parity(i16_runs):
+    _, _, st32, _, sti = i16_runs
+    cfg32, cfgi = make_cfg("float32"), make_cfg("int16")
+    T = st32.T_wc
+    rc32 = raycast_blocks(
+        st32.block_map(), cfg32.camera, cfg32.tsdf, cfg32.blockmap,
+        cfg32.raycast, T,
+    )
+    rci = raycast_blocks(
+        sti.block_map(), cfgi.camera, cfgi.tsdf, cfgi.blockmap,
+        cfgi.raycast, jnp.asarray(np.asarray(sti.T_wc)),
+    )
+    h32 = np.asarray(rc32.hit)
+    hi = np.asarray(rci.hit)
+    assert (h32 ^ hi).mean() < 0.02
+    both = h32 & hi
+    dd = np.abs(np.asarray(rc32.depth) - np.asarray(rci.depth))[both]
+    # int16 quantization is ~mu/32767 ~ microns of surface error; the
+    # median divergence bounds the whole-system (trajectory) difference.
+    assert np.median(dd) < cfg32.tsdf.voxel_size * 0.25

@@ -217,11 +217,15 @@ class BlockMapConfig:
     # ops/swap.py + models/host_cache.py; wired through SlamSystem and
     # apps/run_fusion.py (--set blockmap.out_of_core=true).
     out_of_core: bool = False
-    # Voxel pool storage dtype.  "bfloat16" is the Voxel_s analogue
-    # (reference packs sdf into int16 + uint8 weight, VoxelTypes.hpp:69-92):
-    # it halves HBM traffic for integrate/splat/raycast.  All arithmetic
-    # stays float32; weights are exact integers in bf16 up to 256, so
-    # max_weight <= 256 loses nothing.  "float32" is the exact reference.
+    # Voxel pool storage dtype; all arithmetic stays float32
+    # (codec: ops/blockmap.decode_/encode_tsdf/weight).
+    #   "float32"  — plain storage;
+    #   "int16"    — FIXED-POINT tsdf/color (x32767), weights as exact
+    #                integers: the reference's actual Voxel_s encoding
+    #                (VoxelTypes.hpp:69-92) — halves pool HBM traffic at
+    #                ~4.5 significant digits (needs max_weight <= 32767);
+    #   "bfloat16" — half-width float: same bandwidth, ~2 significant
+    #                digits (weights exact up to 256, so max_weight <= 256).
     pool_dtype: str = "float32"
 
 

@@ -37,6 +37,54 @@ from topfusion_tpu.config import BlockMapConfig
 
 EMPTY_KEY = jnp.iinfo(jnp.int32).max  # sentinel: unoccupied / invalid
 
+# --------------------------------------------------------------- pool codec
+# The pool stores TSDF/weight/color in one of three dtypes:
+#   float32   — plain storage (default);
+#   bfloat16  — half-width storage, ~2 significant digits;
+#   int16     — FIXED-POINT storage, the reference's actual Voxel_s
+#               encoding: sdf scaled by 32767 (valueToFloat/floatToValue,
+#               reference: tfusion/include/tfusion/cuda/VoxelTypes.hpp:69-92)
+#               — bfloat16's bandwidth at ~4.5 significant digits.
+# TSDF and color live in [-1, 1] / [0, 1] and use the scale; weights are
+# small exact integers (max_weight <= 32767) and store unscaled.
+# All semantic compute is float32; these helpers are the ONLY place the
+# storage encoding is interpreted.
+POOL_I16_SCALE = 32767.0
+
+
+def decode_tsdf(a: jnp.ndarray) -> jnp.ndarray:
+    """Storage -> semantic float32 TSDF in [-1, 1] (also used for color)."""
+    if a.dtype == jnp.int16:
+        return a.astype(jnp.float32) * (1.0 / POOL_I16_SCALE)
+    return a.astype(jnp.float32)
+
+
+def encode_tsdf(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Semantic float32 TSDF/color -> storage."""
+    if jnp.dtype(dtype) == jnp.int16:
+        return jnp.round(
+            jnp.clip(x, -1.0, 1.0) * POOL_I16_SCALE
+        ).astype(jnp.int16)
+    return x.astype(dtype)
+
+
+def decode_weight(a: jnp.ndarray) -> jnp.ndarray:
+    """Storage -> semantic float32 fusion weight (unscaled, all dtypes)."""
+    return a.astype(jnp.float32)
+
+
+def encode_weight(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    if jnp.dtype(dtype) == jnp.int16:
+        return jnp.round(x).astype(jnp.int16)
+    return x.astype(dtype)
+
+
+def tsdf_init(shape, dtype) -> jnp.ndarray:
+    """Encoded SDF_initialValue = 1.0 (free space) pool fill."""
+    if jnp.dtype(dtype) == jnp.int16:
+        return jnp.full(shape, int(POOL_I16_SCALE), jnp.int16)
+    return jnp.ones(shape, dtype)
+
 
 class BlockMap(NamedTuple):
     bucket_keys: jnp.ndarray    # [NB, W] int32 packed keys, EMPTY_KEY = free
@@ -133,7 +181,7 @@ def make_block_map(
         bucket_keys=jnp.full((nb, ways), EMPTY_KEY, jnp.int32),
         bucket_slots=jnp.zeros((nb, ways), jnp.int32),
         block_coords=jnp.zeros((cfg.capacity, 3), jnp.int32),
-        tsdf=jnp.ones((cfg.capacity + 1, b, b, b), dtype),
+        tsdf=tsdf_init((cfg.capacity + 1, b, b, b), dtype),
         weight=jnp.zeros((cfg.capacity + 1, b, b, b), dtype),
         num_blocks=jnp.asarray(0, jnp.int32),
         color=jnp.zeros(color_shape, dtype),
@@ -146,7 +194,7 @@ def reset_block_map(m: BlockMap) -> BlockMap:
         bucket_keys=jnp.full_like(m.bucket_keys, EMPTY_KEY),
         bucket_slots=jnp.zeros_like(m.bucket_slots),
         block_coords=jnp.zeros_like(m.block_coords),
-        tsdf=jnp.ones_like(m.tsdf),
+        tsdf=tsdf_init(m.tsdf.shape, m.tsdf.dtype),
         weight=jnp.zeros_like(m.weight),
         num_blocks=jnp.zeros_like(m.num_blocks),
         color=jnp.zeros_like(m.color),
@@ -353,9 +401,9 @@ def read_voxels_nearest(
     local = voxel_coords - block * bsz
     slot, found = lookup(m, block, bits, shard=shard)
     sl = jnp.where(found, slot, 0)
-    # Reads are always float32 regardless of pool storage dtype.
-    t = m.tsdf[sl, local[..., 0], local[..., 1], local[..., 2]].astype(jnp.float32)
-    w = m.weight[sl, local[..., 0], local[..., 1], local[..., 2]].astype(jnp.float32)
+    # Reads are always semantic float32 regardless of pool storage dtype.
+    t = decode_tsdf(m.tsdf[sl, local[..., 0], local[..., 1], local[..., 2]])
+    w = decode_weight(m.weight[sl, local[..., 0], local[..., 1], local[..., 2]])
     return (
         jnp.where(found, t, 1.0),
         jnp.where(found, w, 0.0),
@@ -381,9 +429,7 @@ def read_color_nearest(
     if not has_color:
         return jnp.zeros(voxel_coords.shape[:-1] + (3,), jnp.float32)
     sl = jnp.where(found, slot, 0)
-    c = m.color[sl, local[..., 0], local[..., 1], local[..., 2]].astype(
-        jnp.float32
-    )
+    c = decode_tsdf(m.color[sl, local[..., 0], local[..., 1], local[..., 2]])
     return jnp.where(found[..., None], c, 0.0)
 
 

@@ -50,6 +50,7 @@ def _fuse_one_block(
     coords_ref, uv0_ref, tsdf_ref, w_ref, depth_ref, params_ref,
     tsdf_out, w_out,
     *, g: int, bsz: int, h: int, w: int, win_h: int, win_w: int,
+    i16: bool = False,
 ):
     """Fuse depth into block ``g`` of the current grid step's slab."""
     i = pl.program_id(0) * tsdf_ref.shape[0] + g
@@ -137,15 +138,27 @@ def _fuse_one_block(
     d = jnp.sum(mid * oh_v, axis=2)                          # [B, B*B]
 
     eta = d - pz
-    tsdf_old = tsdf_ref[g].astype(jnp.float32)               # [B, B*B]
+    # Storage decode/encode mirrors ops/blockmap's pool codec: int16 is
+    # the reference's fixed-point Voxel_s (sdf * 32767,
+    # VoxelTypes.hpp:69-92); weights store unscaled exact integers.
+    scale = jnp.float32(32767.0) if i16 else jnp.float32(1.0)
+    tsdf_old = tsdf_ref[g].astype(jnp.float32) / scale       # [B, B*B]
     w_old = w_ref[g].astype(jnp.float32)
     update = in_bounds & (d > 0.0) & (eta >= -mu)
     update = update & jnp.logical_or(stop_at_max < 0.5, w_old < maxw)
     new_f = jnp.maximum(jnp.minimum(1.0, eta / mu), -1.0)
     fused = (tsdf_old * w_old + new_f) / (w_old + 1.0)
     w_new = jnp.minimum(w_old + 1.0, maxw)
-    tsdf_out[g] = jnp.where(update, fused, tsdf_old).astype(tsdf_out.dtype)
-    w_out[g] = jnp.where(update, w_new, w_old).astype(w_out.dtype)
+    t_sem = jnp.where(update, fused, tsdf_old)
+    w_sem = jnp.where(update, w_new, w_old)
+    if i16:
+        tsdf_out[g] = jnp.round(
+            jnp.clip(t_sem, -1.0, 1.0) * scale
+        ).astype(tsdf_out.dtype)
+        w_out[g] = jnp.round(w_sem).astype(w_out.dtype)
+    else:
+        tsdf_out[g] = t_sem.astype(tsdf_out.dtype)
+        w_out[g] = w_sem.astype(w_out.dtype)
     return n_skipped
 
 
@@ -308,6 +321,7 @@ def integrate_blocks_pallas(
 
     kernel = functools.partial(
         _kernel, bsz=bsz, h=h, w=w, win_h=win_h, win_w=win_w,
+        i16=jnp.dtype(dtype) == jnp.int16,
     )
     fused_t, fused_w, skip_steps = pl.pallas_call(
         kernel,

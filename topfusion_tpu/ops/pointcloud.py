@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from topfusion_tpu.config import BlockMapConfig, DenseVolumeConfig, TSDFConfig
-from topfusion_tpu.ops.blockmap import BlockMap
+from topfusion_tpu.ops.blockmap import BlockMap, decode_tsdf, decode_weight
 from topfusion_tpu.ops.tsdf_dense import DenseVolume
 
 
@@ -110,8 +110,8 @@ def extract_pointcloud_blocks(
     base = c[:, None, None, None, :] * bsz
     pw = (base + local + 0.5) * voxel
     pts, nrm, near = _surface_from_grid(
-        m.tsdf[: m.capacity].astype(jnp.float32),
-        m.weight[: m.capacity].astype(jnp.float32),
+        decode_tsdf(m.tsdf[: m.capacity]),
+        decode_weight(m.weight[: m.capacity]),
         pw,
         tsdf_cfg.trunc_dist,
         voxel,

@@ -42,7 +42,7 @@ from jax import lax
 from topfusion_tpu.config import BlockMapConfig, CameraConfig, TSDFConfig
 from topfusion_tpu.geometry.se3 import se3_inverse, transform_points
 from topfusion_tpu.geometry.camera import project
-from topfusion_tpu.ops.blockmap import BlockMap
+from topfusion_tpu.ops.blockmap import BlockMap, decode_tsdf, decode_weight
 from topfusion_tpu.ops.tsdf_dense import RaycastResult
 from topfusion_tpu.ops.normals import normals_from_point_map
 
@@ -124,9 +124,9 @@ def splat_model_maps(
     # Fence the pool gathers: six roll taps consume tsdf_blk below, and
     # XLA would otherwise duplicate the gather into each tap.
     tsdf_blk, w_blk = lax.optimization_barrier(
-        tuple(
-            b.reshape(V, bsz, bsz, bsz).astype(jnp.float32)
-            for b in raw_blocks
+        (
+            decode_tsdf(raw_blocks[0].reshape(V, bsz, bsz, bsz)),
+            decode_weight(raw_blocks[1].reshape(V, bsz, bsz, bsz)),
         )
     )  # [V, B, B, B]
 

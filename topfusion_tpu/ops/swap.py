@@ -37,9 +37,14 @@ from topfusion_tpu.ops.blockmap import (
     EMPTY_KEY,
     BlockMap,
     allocate,
+    decode_tsdf,
+    decode_weight,
+    encode_tsdf,
+    encode_weight,
     lookup,
     pack_key,
     spatial_hash,
+    tsdf_init,
 )
 
 
@@ -116,7 +121,7 @@ def evict_blocks(
     gathered_t = m.tsdf[old_of_new]
     gathered_w = m.weight[old_of_new]
     pool_t = jnp.where(live_new[:, None, None, None], gathered_t,
-                       jnp.ones_like(gathered_t))
+                       tsdf_init(gathered_t.shape, gathered_t.dtype))
     pool_w = jnp.where(live_new[:, None, None, None], gathered_w,
                        jnp.zeros_like(gathered_w))
     coords_new = jnp.where(
@@ -194,10 +199,10 @@ def insert_blocks(
     ok = blocks.valid & found
     safe = jnp.where(ok, slots, cap)
 
-    t_d = m.tsdf[safe].astype(jnp.float32)
-    w_d = m.weight[safe].astype(jnp.float32)
-    t_h = blocks.tsdf.astype(jnp.float32)
-    w_h = blocks.weight.astype(jnp.float32)
+    t_d = decode_tsdf(m.tsdf[safe])
+    w_d = decode_weight(m.weight[safe])
+    t_h = decode_tsdf(blocks.tsdf)
+    w_h = decode_weight(blocks.weight)
     w_sum = w_d + w_h
     t_new = (t_d * w_d + t_h * w_h) / jnp.maximum(w_sum, 1.0)
     t_new = jnp.where(w_sum > 0, t_new, 1.0)
@@ -205,22 +210,23 @@ def insert_blocks(
     okk = ok[:, None, None, None]
     scatter = jnp.where(ok, slots, cap)
     new_tsdf = m.tsdf.at[scatter].set(
-        jnp.where(okk, t_new, t_d).astype(m.tsdf.dtype), mode="drop"
+        encode_tsdf(jnp.where(okk, t_new, t_d), m.tsdf.dtype), mode="drop"
     )
     new_weight = m.weight.at[scatter].set(
-        jnp.where(okk, w_new, w_d).astype(m.weight.dtype), mode="drop"
+        encode_weight(jnp.where(okk, w_new, w_d), m.weight.dtype), mode="drop"
     )
     has_color = m.color.shape[0] == cap + 1
     color = m.color
     if has_color and blocks.color.shape[1] == m.color.shape[1]:
-        c_d = m.color[safe].astype(jnp.float32)
-        c_h = blocks.color.astype(jnp.float32)
+        c_d = decode_tsdf(m.color[safe])
+        c_h = decode_tsdf(blocks.color)
         wde = w_d[..., None]
         whe = w_h[..., None]
         c_new = (c_d * wde + c_h * whe) / jnp.maximum(wde + whe, 1.0)
         color = m.color.at[scatter].set(
-            jnp.where(ok[:, None, None, None, None], c_new, c_d).astype(
-                m.color.dtype
+            encode_tsdf(
+                jnp.where(ok[:, None, None, None, None], c_new, c_d),
+                m.color.dtype,
             ),
             mode="drop",
         )

@@ -39,6 +39,10 @@ from topfusion_tpu.geometry.camera import project, pixel_grid
 from topfusion_tpu.ops.blockmap import (
     BlockMap,
     allocate,
+    decode_tsdf,
+    decode_weight,
+    encode_tsdf,
+    encode_weight,
     lookup,
     read_voxels_nearest,
     sample_trilinear,
@@ -267,8 +271,8 @@ def integrate_blocks(
     h, w = depth.shape
 
     safe_slots = jnp.where(mask, slots, 0)
-    tsdf_blk = m.tsdf[safe_slots].astype(jnp.float32)   # [V, B, B, B]
-    w_blk = m.weight[safe_slots].astype(jnp.float32)
+    tsdf_blk = decode_tsdf(m.tsdf[safe_slots])          # [V, B, B, B]
+    w_blk = decode_weight(m.weight[safe_slots])
 
     # World position of every voxel centre in the gathered blocks.
     lx = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 1)
@@ -306,10 +310,10 @@ def integrate_blocks(
     scatter_slots = jnp.where(mask, slots, m.capacity)  # pad -> sacrificial row
     m = m._replace(
         tsdf=m.tsdf.at[scatter_slots].set(
-            tsdf_out.astype(m.tsdf.dtype), mode="drop"
+            encode_tsdf(tsdf_out, m.tsdf.dtype), mode="drop"
         ),
         weight=m.weight.at[scatter_slots].set(
-            w_out.astype(m.weight.dtype), mode="drop"
+            encode_weight(w_out, m.weight.dtype), mode="drop"
         ),
     )
     return m, jnp.sum(mask.astype(jnp.int32))
@@ -342,8 +346,8 @@ def integrate_color_blocks(
     h, w = depth.shape
 
     safe_slots = jnp.where(mask, slots, 0)
-    w_blk = m.weight[safe_slots].astype(jnp.float32)
-    c_blk = m.color[safe_slots].astype(jnp.float32)  # [V, B, B, B, 3]
+    w_blk = decode_weight(m.weight[safe_slots])
+    c_blk = decode_tsdf(m.color[safe_slots])  # [V, B, B, B, 3]
 
     lx = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 1)
     ly = lax.broadcasted_iota(jnp.float32, (1, bsz, bsz, bsz), 2)
@@ -379,7 +383,7 @@ def integrate_color_blocks(
     scatter_slots = jnp.where(mask, slots, m.capacity)
     return m._replace(
         color=m.color.at[scatter_slots].set(
-            c_out.astype(m.color.dtype), mode="drop"
+            encode_tsdf(c_out, m.color.dtype), mode="drop"
         )
     )
 
