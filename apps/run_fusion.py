@@ -42,6 +42,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+# The environment may pre-register an accelerator PJRT plugin that
+# overrides JAX_PLATFORMS from the env; honor the variable explicitly so
+# subprocess tests (and users) can force a platform.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat and "," not in _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
+
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
@@ -69,6 +79,12 @@ def main() -> int:
                     help="write out/video.gif from per-chunk raycast "
                     "renders (the reference's live display analogue, "
                     "reference: apps/demo.cpp:106-115)")
+    ap.add_argument("--orbit-video", type=int, default=0, metavar="N",
+                    help="after the run, re-render the final map from an "
+                    "N-pose auto-orbit around the reconstructed geometry "
+                    "via the ranged free-view raycast -> out/orbit.gif "
+                    "(the cv::viz free-view analogue, reference: "
+                    "apps/demo.cpp:48-68,106-115)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -217,7 +233,12 @@ def main() -> int:
 
     from topfusion_tpu.models.slam import SlamSystem
 
-    slam = SlamSystem(cfg)
+    # Display rendering rides INSIDE the chunk dispatch (one more output
+    # of the compiled step) whenever the run wants imagery — no separate
+    # render dispatch per chunk (reference renders in-loop too,
+    # reference: tfusion/src/topfu.cpp:284-285).
+    want_renders = bool(args.video or args.render_every)
+    slam = SlamSystem(cfg, render_in_chunk=want_renders)
     metrics = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
 
     print("warmup (compiling the chunk/optimize/reintegrate dispatches)...")
@@ -253,12 +274,12 @@ def main() -> int:
         else:
             frames_after_first += n
         if args.video:
-            video_frames.append(np.asarray(slam.render()))
+            video_frames.append(np.asarray(slam.last_render))
         if args.render_every and done > next_render:
             next_render = done + args.render_every - 1
             import imageio.v3 as iio
 
-            img = np.asarray(slam.render())
+            img = np.asarray(slam.last_render)
             iio.imwrite(
                 os.path.join(args.out, f"render_{done:05d}.png"), img
             )
@@ -300,6 +321,36 @@ def main() -> int:
             fps=5,
         )
         print(f"{len(video_frames)}-frame render video -> video.gif")
+
+    if args.orbit_video:
+        import imageio.v3 as iio
+        import jax.numpy as _jnp
+
+        from topfusion_tpu.geometry.viewpath import map_centroid, orbit_path
+
+        bm = cfg.blockmap.block_size * cfg.tsdf.voxel_size
+        center = map_centroid(
+            np.asarray(slam.state.block_coords),
+            int(np.asarray(slam.state.num_blocks)),
+            bm,
+        )
+        path = orbit_path(
+            center, np.asarray(slam.state.T_wc), args.orbit_video
+        )
+        orbit_frames = [
+            np.asarray(slam.pipe.render(slam.state, _jnp.asarray(T)))
+            for T in path
+        ]
+        iio.imwrite(
+            os.path.join(args.out, "orbit.gif"),
+            np.stack(orbit_frames),
+            fps=10,
+        )
+        hit = np.stack(orbit_frames).any(axis=-1).mean()
+        print(
+            f"{len(orbit_frames)}-pose free-view orbit -> orbit.gif "
+            f"(mean coverage {hit:.0%})"
+        )
 
     if args.rgb:
         import imageio.v3 as iio

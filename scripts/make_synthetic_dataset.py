@@ -10,9 +10,15 @@ the analytic SDF scene, with an optional Kinect-style depth noise model
 `apps/run_fusion.py --sequence <dir>` and `io/datasets.TUMSequence` run
 exactly as they would on the real data.
 
+``--format icl`` writes the ICL-NUIM flavor instead (BASELINE.md config
+3's dataset family): the TUM-compatible ICL release layout with the
+ICL camera convention — NEGATIVE fy (y axis flipped, io/datasets.py
+ICL_CAMERA) — so the fy<0 code path runs loader-to-app end-to-end
+(tests/test_icl_format.py).
+
 Usage:
   python scripts/make_synthetic_dataset.py --out /tmp/tum_synth \
-      --frames 60 --noise 1.0 [--vga]
+      --frames 60 --noise 1.0 [--vga] [--format icl]
 """
 
 from __future__ import annotations
@@ -22,8 +28,19 @@ import os
 import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_topfusion")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+# The environment may pre-register an accelerator PJRT plugin that
+# overrides JAX_PLATFORMS from the env; honor the variable explicitly so
+# subprocess tests (and users) can force a platform.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat and "," not in _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
 
 
 def kinect_noise(depth_m: np.ndarray, rng: np.random.Generator,
@@ -49,6 +66,9 @@ def main() -> int:
                     help="640x480 TUM fr1 intrinsics (default 320x240)")
     ap.add_argument("--angle", type=float, default=8.0)
     ap.add_argument("--shift", type=float, default=0.10)
+    ap.add_argument("--format", choices=("tum", "icl"), default="tum",
+                    help="dataset flavor: tum (fr1 intrinsics) or icl "
+                    "(ICL-NUIM convention, NEGATIVE fy)")
     args = ap.parse_args()
 
     import imageio.v3 as iio
@@ -56,11 +76,20 @@ def main() -> int:
     import jax.numpy as jnp
 
     from topfusion_tpu.config import CameraConfig
-    from topfusion_tpu.io.datasets import TUM_DEPTH_SCALE, TUM_FR1_CAMERA
+    from topfusion_tpu.io.datasets import (
+        ICL_CAMERA,
+        TUM_DEPTH_SCALE,
+        TUM_FR1_CAMERA,
+    )
     from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
     from topfusion_tpu.io.trajectory import save_tum_trajectory
 
-    if args.vga:
+    if args.format == "icl":
+        cam = ICL_CAMERA if args.vga else CameraConfig(
+            width=320, height=240, fx=240.6, fy=-240.0, cx=159.75,
+            cy=119.75,  # ICL-NUIM halved, fy NEGATIVE (its convention)
+        )
+    elif args.vga:
         cam = TUM_FR1_CAMERA
     else:
         cam = CameraConfig(width=320, height=240, fx=258.65, fy=258.25,

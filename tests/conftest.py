@@ -17,5 +17,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TOPFUSION_TEST_PLATFORM=default runs the suite against the machine's
+# real accelerator backend, whatever its PJRT plugin is called (used
+# manually for the TPU-only compiled-kernel tests, which SKIP on the
+# default CPU mesh); any other value pins that platform explicitly.
+_platform = os.environ.get("TOPFUSION_TEST_PLATFORM", "cpu")
+if _platform != "default":
+    jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_enable_x64", False)

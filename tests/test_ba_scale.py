@@ -84,6 +84,7 @@ def make_ring_graph(K, E_cap, noise=0.01, seed=0, loops_every=16):
         edge_is_loop=jnp.asarray(is_loop),
         edge_weight=jnp.ones((E_cap,), jnp.float32),
         num_edges=jnp.asarray(E, jnp.int32),
+        kf_loop_done=jnp.zeros((K,), bool),
     )
     return pg, jnp.asarray(gt)
 

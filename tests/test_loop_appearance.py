@@ -84,14 +84,14 @@ def test_pose_only_gate_misses_drifted_loop_but_appearance_closes_it():
         np.asarray(pg.kf_poses[int(pg.num_kf) - 1][:3, 3])
         - np.asarray(pg.kf_poses[0][:3, 3])
     )) > pg_cfg_pose.loop_max_dist  # the premise: drift exceeds the gate
-    pg_out, found = detect_loop(pg, cam, pg_cfg_pose, cfg.icp)
+    pg_out, found, _ = detect_loop(pg, cam, pg_cfg_pose, cfg.icp)
     assert not bool(found), "pose-only gate unexpectedly closed the loop"
 
     # (b) appearance-ranked selection: loop closed, edge correct.
     pg_cfg_app = cfg.posegraph
     assert pg_cfg_app.loop_appearance
     pg, T_drift = _build_drifted_graph(pg_cfg_app, cam)
-    pg_out, found = detect_loop(pg, cam, pg_cfg_app, cfg.icp)
+    pg_out, found, _ = detect_loop(pg, cam, pg_cfg_app, cfg.icp)
     assert bool(found), "appearance selection failed to close the loop"
 
     ne = int(pg_out.num_edges)

@@ -147,3 +147,43 @@ def test_pallas_integrate_matches_xla_int16():
     assert np.array_equal(w_pal, w_ref)
     # f32 rounding of identical arithmetic: allow 1 quantum of slack.
     assert np.abs(t_pal - t_ref).max() <= 1
+
+
+def test_pallas_integrate_matches_xla_int16_compiled_tpu():
+    """COMPILED TPU variant of the int16 agreement test: the fused
+    kernel's (8, 64) block tiles sit below the native int16 (16, 128)
+    tile, so Mosaic regressions on sub-tile int16 shapes would only show
+    up here (advisor round-3 finding).  Skips off-TPU; run with
+    TOPFUSION_TEST_PLATFORM=tpu."""
+    import dataclasses
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("needs a TPU backend (TOPFUSION_TEST_PLATFORM=default)")
+
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, blockmap=dataclasses.replace(cfg.blockmap, pool_dtype="int16")
+    )
+    scene = SyntheticScene()
+    pipe = BlockPipeline(cfg)
+    state = pipe.init()
+    d0 = scene.render_depth_mm(cfg.camera, jnp.eye(4))
+    state, _ = pipe.step(state, d0)
+    m = state.block_map()
+    raw, _ = preprocess_depth(d0, cfg.preproc)
+
+    vis = visible_blocks(m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4))
+    m_ref, n_ref = integrate_blocks(
+        m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4), raw, vis
+    )
+    m_pal, n_pal = integrate_blocks_pallas(
+        m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4), raw, vis,
+        interpret=False,
+    )
+    assert int(n_ref) == int(n_pal)
+    t_ref = np.asarray(m_ref.tsdf, np.int32)
+    t_pal = np.asarray(m_pal.tsdf, np.int32)
+    w_ref = np.asarray(m_ref.weight, np.int32)
+    w_pal = np.asarray(m_pal.weight, np.int32)
+    assert np.array_equal(w_pal, w_ref)
+    assert np.abs(t_pal - t_ref).max() <= 1

@@ -211,3 +211,42 @@ def test_i16_raycast_parity(i16_runs):
     # int16 quantization is ~mu/32767 ~ microns of surface error; the
     # median divergence bounds the whole-system (trajectory) difference.
     assert np.median(dd) < cfg32.tsdf.voxel_size * 0.25
+
+
+def test_compact_pool_max_weight_validated():
+    """int16/bfloat16 pools bound the exactly-representable fusion
+    weight; an incompatible max_weight must fail at config construction
+    instead of silently wrapping weights (advisor round-3 finding)."""
+    import dataclasses
+
+    import pytest
+
+    from topfusion_tpu.config import (
+        BlockMapConfig,
+        PipelineConfig,
+        TSDFConfig,
+    )
+
+    with pytest.raises(ValueError, match="max_weight"):
+        PipelineConfig(
+            tsdf=TSDFConfig(max_weight=40000.0),
+            blockmap=BlockMapConfig(pool_dtype="int16"),
+        )
+    with pytest.raises(ValueError, match="max_weight"):
+        PipelineConfig(
+            tsdf=TSDFConfig(max_weight=300.0),
+            blockmap=BlockMapConfig(pool_dtype="bfloat16"),
+        )
+    # In-range combinations construct fine.
+    PipelineConfig(
+        tsdf=TSDFConfig(max_weight=100.0),
+        blockmap=BlockMapConfig(pool_dtype="int16"),
+    )
+    PipelineConfig(
+        tsdf=TSDFConfig(max_weight=256.0),
+        blockmap=BlockMapConfig(pool_dtype="bfloat16"),
+    )
+    PipelineConfig(
+        tsdf=TSDFConfig(max_weight=1e6),
+        blockmap=BlockMapConfig(pool_dtype="float32"),
+    )

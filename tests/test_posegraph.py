@@ -101,13 +101,21 @@ def test_detect_loop_on_revisit():
     for i, T in enumerate(poses):
         p, n = kf_maps(T)
         pg = add_keyframe(pg, T, p, n, jnp.asarray(i), jnp.asarray(True))
-    pg, found = detect_loop(pg, CAM_L, cfg, ICP_CFG)
+    pg, found, info = detect_loop(pg, CAM_L, cfg, ICP_CFG)
     assert bool(found), "revisit loop not detected"
-    # The loop edge connects an early node to the last node.
-    e = int(pg.num_edges) - 1
-    assert bool(pg.edge_is_loop[e])
-    assert int(pg.edge_j[e]) == 7
+    # A loop edge connects an early node to the last node (multi-query
+    # detection may additionally close slightly older keyframes).
+    n_e = int(pg.num_edges)
+    loops = [
+        e for e in range(n_e)
+        if bool(pg.edge_is_loop[e]) and int(pg.edge_j[e]) == 7
+    ]
+    assert loops, "no loop edge for the newest keyframe"
+    e = loops[0]
     assert int(pg.edge_i[e]) <= 2
+    assert bool(pg.kf_loop_done[7])
+    assert int(info.n_closed) >= 1 and int(info.inliers) > 0
+    assert float(info.residual) < cfg.huber_delta
     # Measured transform close to the true relative.
     Ti = poses[int(pg.edge_i[e])]
     T_true = np.asarray(se3_inverse(Ti) @ poses[7])
@@ -122,5 +130,5 @@ def test_no_loop_when_far():
         T = se3_exp(jnp.asarray([0, 0, 0, 0.2 * i, 0, 0], jnp.float32))
         p, n = kf_maps(T)
         pg = add_keyframe(pg, T, p, n, jnp.asarray(i), jnp.asarray(True))
-    pg, found = detect_loop(pg, CAM_L, cfg, ICP_CFG)
+    pg, found, _ = detect_loop(pg, CAM_L, cfg, ICP_CFG)
     assert not bool(found)

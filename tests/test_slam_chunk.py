@@ -115,3 +115,26 @@ def test_chunked_rgb_fuses_color():
     # Palette colors are saturated: channel spread well above grey.
     spread = lit.max(axis=1) - lit.min(axis=1)
     assert np.median(spread) > 0.2
+
+
+def test_chunked_in_dispatch_render():
+    """render_in_chunk folds the display raycast into the chunk dispatch:
+    the returned image must match the standalone render of the same
+    state (the app's --video/--render path, round-3 VERDICT weak #1)."""
+    cfg = make_cfg()
+    scene = SyntheticScene()
+    slam = SlamSystem(cfg, render_in_chunk=True)
+    ke = cfg.posegraph.keyframe_every
+    frames = np.stack(
+        [
+            np.asarray(scene.render_depth_mm(cfg.camera, jnp.eye(4)))
+            for _ in range(ke)
+        ]
+    )
+    slam.process_chunk(frames)
+    assert slam.last_render is not None
+    img = np.asarray(slam.last_render)
+    assert img.shape == (cfg.camera.height, cfg.camera.width, 3)
+    ref = np.asarray(slam.pipe.render(slam.state))
+    np.testing.assert_array_equal(img, ref)
+    assert img.std() > 1.0  # actually rendered something

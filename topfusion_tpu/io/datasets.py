@@ -132,11 +132,16 @@ class TUMSequence:
 
 
 class ICLSequence:
-    """ICL-NUIM sequence in TUM-compatible format (depth.txt listing)."""
+    """ICL-NUIM sequence in TUM-compatible format (depth.txt listing).
+
+    The ICL camera convention has NEGATIVE fy (y axis flipped); a
+    sequence-local ``camera.txt`` (synthetic ICL-format sequences from
+    scripts/make_synthetic_dataset.py) overrides the published living
+    room intrinsics, exactly like TUMSequence."""
 
     def __init__(self, root: str):
         self.root = root
-        self.camera = ICL_CAMERA
+        self.camera = _read_camera_file(root) or ICL_CAMERA
         self.depth_list = _parse_tum_list(os.path.join(root, "depth.txt"))
         gt_path = os.path.join(root, "groundtruth.txt")
         self.groundtruth = None
@@ -157,10 +162,24 @@ class ICLSequence:
                 ),
             )
 
+    def gt_pose_at(self, ts: float) -> Optional[np.ndarray]:
+        if self.groundtruth is None:
+            return None
+        stamps, poses = self.groundtruth
+        k = int(np.argmin(np.abs(stamps - ts)))
+        if abs(stamps[k] - ts) > 0.05:
+            return None
+        return poses[k]
+
 
 def open_sequence(root: str, with_rgb: bool = False):
-    """Auto-detect sequence flavor from directory contents."""
+    """Auto-detect sequence flavor from directory contents: a negative
+    fy in camera.txt or an icl/living-room directory name selects the
+    ICL convention."""
     if os.path.exists(os.path.join(root, "depth.txt")):
+        cam = _read_camera_file(root)
+        if cam is not None and cam.fy < 0:
+            return ICLSequence(root)
         if "icl" in root.lower() or "living" in root.lower():
             return ICLSequence(root)
         return TUMSequence(root, with_rgb=with_rgb)

@@ -299,12 +299,19 @@ class BlockPipeline:
         )
 
     # ------------------------------------------------------------------
+    def _render_impl(self, state: BlockState, T_wc: jnp.ndarray) -> jnp.ndarray:
+        """Unjitted display-render body (shared by the standalone jitted
+        ``render`` and callers that fold it into a larger dispatch, e.g.
+        the SLAM chunk)."""
+        rc = self._free_view_raycast(state, T_wc)
+        light = T_wc[:3, 3] + jnp.asarray([0.0, -1.0, -1.0])
+        return phong_shade(rc.points, rc.normals, light, T_wc[:3, 3])
+
+    # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def render(self, state: BlockState, T_wc: jnp.ndarray | None = None) -> jnp.ndarray:
         T = state.T_wc if T_wc is None else T_wc
-        rc = self._free_view_raycast(state, T)
-        light = T[:3, 3] + jnp.asarray([0.0, -1.0, -1.0])
-        return phong_shade(rc.points, rc.normals, light, T[:3, 3])
+        return self._render_impl(state, T)
 
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)

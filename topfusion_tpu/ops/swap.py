@@ -36,6 +36,7 @@ from topfusion_tpu.config import BlockMapConfig
 from topfusion_tpu.ops.blockmap import (
     EMPTY_KEY,
     BlockMap,
+    _bucket_owner,
     allocate,
     decode_tsdf,
     decode_weight,
@@ -43,7 +44,6 @@ from topfusion_tpu.ops.blockmap import (
     encode_weight,
     lookup,
     pack_key,
-    spatial_hash,
     tsdf_init,
 )
 
@@ -80,7 +80,7 @@ def extract_blocks(m: BlockMap, slots: jnp.ndarray) -> ExtractedBlocks:
 
 
 def evict_blocks(
-    m: BlockMap, slots: jnp.ndarray, cfg: BlockMapConfig
+    m: BlockMap, slots: jnp.ndarray, cfg: BlockMapConfig, shard=None
 ) -> Tuple[BlockMap, jnp.ndarray]:
     """Remove the given slots [K] (pad = -1) and compact the pool.
 
@@ -91,7 +91,10 @@ def evict_blocks(
     (the kept keys are a subset per bucket).  Returns
     (new map, old->new slot remap [capacity] int32 with -1 for evicted) —
     the remap lets callers fix any slot-indexed side state (e.g. the aged
-    visible list).
+    visible list).  ``shard = (shard_id, num_shards)`` rebuilds the
+    bucket table in the sharded GLOBAL bucket space (every block in a
+    shard-local map is owned by that shard, so only the bucket index
+    changes; parallel/block_sharded.py).
     """
     cap = m.capacity
     nb, ways = m.bucket_keys.shape
@@ -142,7 +145,8 @@ def evict_blocks(
 
     # Bucket rebuild: sort compacted keys by bucket, rank within bucket.
     keys = jnp.where(live_new, pack_key(coords_new, bits), EMPTY_KEY)
-    bucket = jnp.where(live_new, spatial_hash(coords_new, nb), nb)
+    local_b, _ = _bucket_owner(coords_new, nb, shard)
+    bucket = jnp.where(live_new, local_b, nb)
     order = jnp.argsort(bucket, stable=True)
     b_sorted = bucket[order]
     first = jnp.concatenate(
@@ -181,6 +185,7 @@ def insert_blocks(
     blocks: ExtractedBlocks,
     cfg: BlockMapConfig,
     max_weight: float,
+    shard=None,
 ) -> Tuple[BlockMap, jnp.ndarray]:
     """Restore host-cached blocks into the map.
 
@@ -194,8 +199,8 @@ def insert_blocks(
     """
     cap = m.capacity
     bits = cfg.coord_bits
-    m, _ = allocate(m, blocks.coords, blocks.valid, cfg)
-    slots, found = lookup(m, blocks.coords, bits)
+    m, _ = allocate(m, blocks.coords, blocks.valid, cfg, shard=shard)
+    slots, found = lookup(m, blocks.coords, bits, shard=shard)
     ok = blocks.valid & found
     safe = jnp.where(ok, slots, cap)
 

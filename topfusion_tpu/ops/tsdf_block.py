@@ -270,7 +270,11 @@ def integrate_blocks(
     voxel = tsdf_cfg.voxel_size
     h, w = depth.shape
 
-    safe_slots = jnp.where(mask, slots, 0)
+    # Padded vis entries gather (and later scatter back) the sacrificial
+    # row, exactly like the Pallas path — the row is semantically dead,
+    # but routing pads identically keeps the two paths bit-comparable
+    # over the WHOLE pool (tests/test_pallas_integrate.py).
+    safe_slots = jnp.where(mask, slots, m.capacity)
     tsdf_blk = decode_tsdf(m.tsdf[safe_slots])          # [V, B, B, B]
     w_blk = decode_weight(m.weight[safe_slots])
 
