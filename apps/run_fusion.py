@@ -66,8 +66,11 @@ def main() -> int:
                     help="dotted config override, e.g. tsdf.voxel_size=0.01")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=0,
-                    help="frames per device dispatch "
-                    "(default: posegraph.keyframe_every)")
+                    help="frames per device dispatch (default: ~1 second "
+                    "of frames, rounded to the keyframe cadence — per-"
+                    "chunk dispatch/fetch overheads amortize over enough "
+                    "frames to hold sensor rate; keyframes still insert "
+                    "at every cadence WITHIN the chunk)")
     ap.add_argument("--rgb", action="store_true",
                     help="fuse color and write a color render "
                     "(synthetic scenes render RGB; TUM sequences load it)")
@@ -117,6 +120,24 @@ def main() -> int:
                 cfg,
                 blockmap=_dc.replace(cfg.blockmap, use_pallas_integrate=True),
             )
+    # The library default max_visible_blocks (2^14) is a conservative
+    # bound for large scenes; every per-frame gather/sort/scatter in
+    # integrate+splat scales with it (PADDED, not actual occupancy) —
+    # measured 105 vs 28 ms/frame at VGA.  The app sizes it to the
+    # actual VGA frustum band (~3-4k blocks at 5 mm voxels) and uses the
+    # reference's own int16 Voxel_s pool encoding, both overridable.
+    if not any("max_visible_blocks" in o for o in args.overrides):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, blockmap=_dc.replace(cfg.blockmap, max_visible_blocks=1 << 12)
+        )
+    if not any("pool_dtype" in o for o in args.overrides):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, blockmap=_dc.replace(cfg.blockmap, pool_dtype="int16")
+        )
     if args.rgb:
         import dataclasses as _dc
 
@@ -147,7 +168,8 @@ def main() -> int:
         n_total = args.synthetic
         gt_poses = orbit_trajectory(n_total, max_angle_deg=5.0,
                                     max_shift=0.05, seed=2)
-        chunk = args.chunk or cfg.posegraph.keyframe_every
+        ke = cfg.posegraph.keyframe_every
+        chunk = args.chunk or ke * max(1, 30 // ke)
 
         # Per-FRAME jitted renders (a vmap-over-chunk program compiles
         # ~10x slower on the remote compile service for zero runtime
@@ -206,7 +228,8 @@ def main() -> int:
         n_total = len(seq)
         if args.max_frames:
             n_total = min(n_total, args.max_frames)
-        chunk = args.chunk or cfg.posegraph.keyframe_every
+        ke = cfg.posegraph.keyframe_every
+        chunk = args.chunk or ke * max(1, 30 // ke)
 
         def chunks():
             buf, rgb_buf = [], []
@@ -274,7 +297,9 @@ def main() -> int:
         else:
             frames_after_first += n
         if args.video:
-            video_frames.append(np.asarray(slam.last_render))
+            # Fetch the preview at HALF resolution: D2H over a tunneled
+            # backend is the bottleneck, and the GIF is a preview.
+            video_frames.append(np.asarray(slam.last_render[::2, ::2]))
         if args.render_every and done > next_render:
             next_render = done + args.render_every - 1
             import imageio.v3 as iio

@@ -1,6 +1,8 @@
 """Bisect preprocess_depth cost: which sub-op burns the time?"""
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_topfusion")
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import jax, jax.numpy as jnp
 import numpy as np
 from topfusion_tpu.ops.depth import (

@@ -19,7 +19,9 @@ if "--cpu" in sys.argv:
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
     ).strip()
-    import jax
+    import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+import jax
 
     jax.config.update("jax_platforms", "cpu")
 else:

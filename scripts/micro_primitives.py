@@ -2,6 +2,8 @@
 block pipeline, on the current backend.  Guides kernel redesign decisions."""
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_topfusion")
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import jax, jax.numpy as jnp
 import numpy as np
 

@@ -1,6 +1,8 @@
 """Per-stage timing of the block pipeline on the current backend."""
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_topfusion")
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import jax, jax.numpy as jnp
 import numpy as np
 

@@ -135,6 +135,20 @@ def test_chunked_in_dispatch_render():
     assert slam.last_render is not None
     img = np.asarray(slam.last_render)
     assert img.shape == (cfg.camera.height, cfg.camera.width, 3)
-    ref = np.asarray(slam.pipe.render(slam.state))
+    # The live display shades the model maps the step already splatted
+    # (one elementwise pass — the raycast is reserved for offline
+    # quality renders).
+    import jax.numpy as _jnp
+
+    from topfusion_tpu.ops.rendering import phong_shade
+
+    T = slam.state.T_wc
+    light = T[:3, 3] + _jnp.asarray([0.0, -1.0, -1.0])
+    ref = np.asarray(
+        phong_shade(
+            slam.state.model_points[0], slam.state.model_normals[0],
+            light, T[:3, 3],
+        )
+    )
     np.testing.assert_array_equal(img, ref)
     assert img.std() > 1.0  # actually rendered something

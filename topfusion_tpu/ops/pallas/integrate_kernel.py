@@ -59,8 +59,8 @@ _BLOCKS_PER_STEP = 8
 
 
 def _fuse_one_block(
-    uv0_ref, tsdf_ref, w_ref, code_ref, pz_ref, depth_ref, params_ref,
-    tsdf_out, w_out,
+    uv0_ref, tsdf_ref, w_ref, code_ref, pz_ref, depth_hi_ref, depth_lo_ref,
+    params_ref, tsdf_out, w_out,
     *, g: int, bsz: int, win_h: int, win_w: int, i16: bool = False,
 ):
     """Fuse depth into block ``g`` of the current grid step's slab."""
@@ -75,7 +75,8 @@ def _fuse_one_block(
     # (one vectorized XLA pass over all blocks).
     u0 = pl.multiple_of(uv0_ref[0, i], 128)
     v0 = pl.multiple_of(uv0_ref[1, i], 8)
-    win = depth_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+    win_hi = depth_hi_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+    win_lo = depth_lo_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
 
     # Window-relative pixel code per voxel, precomputed by the XLA
     # projection (code = (vr << 16) | ur, or -1 for any voxel the XLA
@@ -92,23 +93,32 @@ def _fuse_one_block(
 
     # One-hot u-selection as a batched MXU contraction, staying 3-D:
     #   mid[r, q, vh] = sum_w (ur[r, q] == w) * win[vh, w]
+    # The MXU's native bf16 pass truncates an f32 depth to 8 mantissa
+    # bits (~2 mm at 1.3 m), which flips the eta >= -mu update gate vs
+    # the XLA path near the truncation boundary (caught by the
+    # compiled-TPU agreement test).  Selection must be EXACT — so the
+    # depth arrives as TWO bf16 byte planes of its u16 MILLIMETER value
+    # (hi = mm // 256, lo = mm % 256; both < 256, exact in bf16): two
+    # single-pass bf16 dots of exact small integers are exact, and
+    # mm * 0.001f afterwards is the very multiply the XLA frontend uses
+    # (ops/depth.depth_to_meters) — bit-identical d at ~1/3 the cost of
+    # a Precision.HIGHEST f32 dot.
     cols_u = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz, win_w), 2)
-    oh_u = (cols_u == ur[..., None]).astype(jnp.float32)     # [B, B*B, Ww]
-    # Precision HIGHEST: the MXU's default single-pass bf16 dot truncates
-    # the selected depth to 8 mantissa bits (~2 mm at 1.3 m), which flips
-    # the eta >= -mu update gate vs the XLA path near the truncation
-    # boundary (caught by the compiled-TPU agreement test).  The one-hot
-    # selection must return the depth EXACTLY; the f32x3-pass dot does.
-    mid = jax.lax.dot_general(
-        oh_u, win,
-        dimension_numbers=(((2,), (1,)), ((), ())),
+    oh_u = (cols_u == ur[..., None]).astype(jnp.bfloat16)    # [B, B*B, Ww]
+    dn = (((2,), (1,)), ((), ()))
+    mid_hi = jax.lax.dot_general(
+        oh_u, win_hi, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
     )  # [B, B*B, win_h]
+    mid_lo = jax.lax.dot_general(
+        oh_u, win_lo, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    mid = mid_hi * 256.0 + mid_lo                            # exact mm
     # One-hot v-selection on the VPU.
     cols_v = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz, win_h), 2)
     oh_v = (cols_v == vr[..., None]).astype(jnp.float32)
-    d = jnp.sum(mid * oh_v, axis=2)                          # [B, B*B]
+    d = jnp.sum(mid * oh_v, axis=2) * jnp.float32(0.001)     # [B, B*B]
 
     eta = d - pz_ref[g]
     # Storage decode/encode mirrors ops/blockmap's pool codec: int16 is
@@ -142,7 +152,8 @@ def _kernel(
     w_ref,          # [G, B, B*B] pool dtype
     code_ref,       # [G, B, B*B] i32 window-relative pixel code (-1 = skip)
     pz_ref,         # [G, B, B*B] f32 voxel camera-space z
-    depth_ref,      # [H, W] f32 (full, VMEM)
+    depth_hi_ref,   # [H, W] bf16: depth_mm // 256 (full, VMEM)
+    depth_lo_ref,   # [H, W] bf16: depth_mm % 256
     params_ref,     # [1, 8] f32
     tsdf_out,       # [G, B, B*B]
     w_out,
@@ -150,8 +161,8 @@ def _kernel(
 ):
     for g in range(tsdf_ref.shape[0]):
         _fuse_one_block(
-            uv0_ref, tsdf_ref, w_ref, code_ref, pz_ref, depth_ref,
-            params_ref, tsdf_out, w_out, g=g, **kw,
+            uv0_ref, tsdf_ref, w_ref, code_ref, pz_ref, depth_hi_ref,
+            depth_lo_ref, params_ref, tsdf_out, w_out, g=g, **kw,
         )
 
 
@@ -323,6 +334,13 @@ def integrate_blocks_pallas(
         coords, mask, cam, tsdf_cfg, bsz, T_cw, uv0, win_h, win_w, h, w
     )
 
+    # Exact bf16 byte planes of the u16 millimeter depth (see kernel
+    # doc): mm recovers exactly from the f32 meters the XLA path carries
+    # because meters = mm * 0.001f there (ops/depth.depth_to_meters).
+    mm = jnp.round(depth * 1000.0)
+    depth_hi = jnp.floor(mm / 256.0).astype(jnp.bfloat16)
+    depth_lo = (mm - jnp.floor(mm / 256.0) * 256.0).astype(jnp.bfloat16)
+
     blk = (G, bsz, bsz * bsz)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -332,7 +350,8 @@ def integrate_blocks_pallas(
             pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),
             pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),   # code
             pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),   # pz
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # depth
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # depth_hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # depth_lo
             pl.BlockSpec(memory_space=pltpu.VMEM),        # params
         ],
         out_specs=[
@@ -354,7 +373,7 @@ def integrate_blocks_pallas(
         ),
         input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
-    )(uv0, blk_t, blk_w, code, pz, depth, params)
+    )(uv0, blk_t, blk_w, code, pz, depth_hi, depth_lo, params)
 
     # One row-scatter back; padded entries land on the sacrificial row.
     shape3 = (cap + 1, bsz, bsz * bsz)

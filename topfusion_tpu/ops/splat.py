@@ -254,9 +254,15 @@ def splat_model_maps(
 
     hit = zbuf != sentinel
     gid = jnp.where(hit, zbuf & ((1 << id_bits) - 1), 0)
-    # One winner-attribute gather: xyz, z, fusion weight.
+    # One winner-attribute gather: xyz, z, fusion weight — PADDED to 8
+    # aligned channels (power-of-two rows gather ~10x cheaper than odd
+    # widths on TPU; docs/PERFORMANCE.md microbenchmarks).
     surfel_attr = jnp.concatenate(
-        [pts.reshape(-1, 3), z.reshape(-1, 1), w_sel.reshape(-1, 1)], axis=-1
+        [
+            pts.reshape(-1, 3), z.reshape(-1, 1), w_sel.reshape(-1, 1),
+            jnp.zeros((pts.shape[0] * pts.shape[1], 3), pts.dtype),
+        ],
+        axis=-1,
     )
     if axis_name is not None:
         mine = hit & ((gid % num_shards) == sid)
