@@ -187,3 +187,58 @@ def test_pallas_integrate_matches_xla_int16_compiled_tpu():
     w_pal = np.asarray(m_pal.weight, np.int32)
     assert np.array_equal(w_pal, w_ref)
     assert np.abs(t_pal - t_ref).max() <= 1
+
+
+def test_pallas_integrate_matches_xla_compiled_tpu_vga_windows():
+    """Compiled agreement at a geometry where the per-block window
+    ORIGINS are nonzero: alignment bugs in the dynamic window slice
+    (u0 off the 128-lane tile, v0 off the bf16 16-sublane tile) are
+    invisible at sizes whose clip bounds are 0 — this VGA-class variant
+    would have caught the v0-alignment garble that cost 1.5x ATE at
+    640x480.  Skips off-accelerator; run with
+    TOPFUSION_TEST_PLATFORM=default."""
+    import dataclasses
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("needs a TPU backend (TOPFUSION_TEST_PLATFORM=default)")
+
+    from topfusion_tpu.config import (
+        BlockMapConfig,
+        CameraConfig,
+        PipelineConfig,
+        RaycastConfig,
+        TSDFConfig,
+    )
+
+    cam = CameraConfig(width=640, height=480, fx=500.0, fy=500.0,
+                       cx=320.0, cy=240.0)
+    cfg = PipelineConfig(
+        camera=cam,
+        tsdf=TSDFConfig(voxel_size=0.005, trunc_dist=0.02),
+        blockmap=BlockMapConfig(max_visible_blocks=4096),
+        raycast=RaycastConfig(max_steps=96),
+    )
+    scene = SyntheticScene()
+    pipe = BlockPipeline(cfg)
+    state = pipe.init()
+    d0 = scene.render_depth_mm(cfg.camera, jnp.eye(4))
+    state, _ = pipe.step(state, d0)
+    m = state.block_map()
+    raw, _ = preprocess_depth(d0, cfg.preproc)
+
+    vis = visible_blocks(m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4))
+    m_ref, n_ref = integrate_blocks(
+        m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4), raw, vis
+    )
+    m_pal, n_pal, n_skip = integrate_blocks_pallas(
+        m, cfg.camera, cfg.tsdf, cfg.blockmap, jnp.eye(4), raw, vis,
+        interpret=False, return_skipped=True,
+    )
+    assert int(n_ref) == int(n_pal)
+    assert int(n_skip) == 0
+    np.testing.assert_array_equal(
+        np.asarray(m_pal.weight), np.asarray(m_ref.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_pal.tsdf), np.asarray(m_ref.tsdf), atol=1e-5
+    )

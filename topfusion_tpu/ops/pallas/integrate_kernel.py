@@ -53,28 +53,23 @@ from topfusion_tpu.geometry.se3 import se3_inverse, transform_points
 from topfusion_tpu.geometry.camera import project
 from topfusion_tpu.ops.blockmap import BlockMap
 
-_WIN_H = 128   # depth window height (v); origin 8-aligned
+_WIN_H = 128   # depth window height (v); origin 16-aligned (bf16 tile)
 _WIN_W = 256   # depth window width (u); origin 128-aligned
 _BLOCKS_PER_STEP = 8
 
 
-def _fuse_one_block(
-    uv0_ref, tsdf_ref, w_ref, code_ref, pz_ref, depth_hi_ref, depth_lo_ref,
-    params_ref, tsdf_out, w_out,
-    *, g: int, bsz: int, win_h: int, win_w: int, i16: bool = False,
+def _sample_one_block(
+    uv0_ref, code_ref, depth_hi_ref, depth_lo_ref, d_out,
+    *, g: int, bsz: int, win_h: int, win_w: int,
 ):
-    """Fuse depth into block ``g`` of the current grid step's slab."""
-    i = pl.program_id(0) * tsdf_ref.shape[0] + g
-
-    mu = params_ref[0, 0]
-    maxw = params_ref[0, 1]
-    stop_at_max = params_ref[0, 2]
+    """Select each voxel's depth sample for block ``g`` of the slab."""
+    i = pl.program_id(0) * code_ref.shape[0] + g
 
     # Aligned depth window at the projected footprint.  The origin is
     # precomputed OUTSIDE the kernel from the block's projected corners
     # (one vectorized XLA pass over all blocks).
     u0 = pl.multiple_of(uv0_ref[0, i], 128)
-    v0 = pl.multiple_of(uv0_ref[1, i], 8)
+    v0 = pl.multiple_of(uv0_ref[1, i], 16)
     win_hi = depth_hi_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
     win_lo = depth_lo_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
 
@@ -119,50 +114,23 @@ def _fuse_one_block(
     cols_v = lax.broadcasted_iota(jnp.int32, (bsz, bsz * bsz, win_h), 2)
     oh_v = (cols_v == vr[..., None]).astype(jnp.float32)
     d = jnp.sum(mid * oh_v, axis=2) * jnp.float32(0.001)     # [B, B*B]
-
-    eta = d - pz_ref[g]
-    # Storage decode/encode mirrors ops/blockmap's pool codec: int16 is
-    # the reference's fixed-point Voxel_s (sdf * 32767,
-    # VoxelTypes.hpp:69-92); weights store unscaled exact integers.
-    scale = jnp.float32(32767.0) if i16 else jnp.float32(1.0)
-    tsdf_old = tsdf_ref[g].astype(jnp.float32) / scale       # [B, B*B]
-    w_old = w_ref[g].astype(jnp.float32)
-    update = valid & (d > 0.0) & (eta >= -mu)
-    update = update & jnp.logical_or(stop_at_max < 0.5, w_old < maxw)
-    new_f = jnp.maximum(jnp.minimum(1.0, eta / mu), -1.0)
-    fused = (tsdf_old * w_old + new_f) / (w_old + 1.0)
-    w_new = jnp.minimum(w_old + 1.0, maxw)
-    t_sem = jnp.where(update, fused, tsdf_old)
-    w_sem = jnp.where(update, w_new, w_old)
-    if i16:
-        tsdf_out[g] = jnp.round(
-            jnp.clip(t_sem, -1.0, 1.0) * scale
-        ).astype(tsdf_out.dtype)
-        w_out[g] = jnp.round(w_sem).astype(w_out.dtype)
-    else:
-        tsdf_out[g] = t_sem.astype(tsdf_out.dtype)
-        w_out[g] = w_sem.astype(w_out.dtype)
+    d_out[g] = jnp.where(valid, d, 0.0)
 
 
 def _kernel(
     uv0_ref,        # scalar prefetch: [2, Vp] int32 window origins (u0, v0)
                     # (transposed: SMEM pads the minor dim to the lane
                     # width, so [Vp, 2] would cost Vp*128 words)
-    tsdf_ref,       # [G, B, B*B] pool dtype — this step's blocks (x, y*B+z)
-    w_ref,          # [G, B, B*B] pool dtype
     code_ref,       # [G, B, B*B] i32 window-relative pixel code (-1 = skip)
-    pz_ref,         # [G, B, B*B] f32 voxel camera-space z
     depth_hi_ref,   # [H, W] bf16: depth_mm // 256 (full, VMEM)
     depth_lo_ref,   # [H, W] bf16: depth_mm % 256
-    params_ref,     # [1, 8] f32
-    tsdf_out,       # [G, B, B*B]
-    w_out,
+    d_out,          # [G, B, B*B] f32 selected depth (0 where invalid)
     **kw,
 ):
-    for g in range(tsdf_ref.shape[0]):
-        _fuse_one_block(
-            uv0_ref, tsdf_ref, w_ref, code_ref, pz_ref, depth_hi_ref,
-            depth_lo_ref, params_ref, tsdf_out, w_out, g=g, **kw,
+    for g in range(code_ref.shape[0]):
+        _sample_one_block(
+            uv0_ref, code_ref, depth_hi_ref, depth_lo_ref, d_out,
+            g=g, **kw,
         )
 
 
@@ -195,7 +163,7 @@ def _window_origins(
     umin = jnp.min(jnp.where(okc, uvc[..., 0], big), axis=1)
     vmin = jnp.min(jnp.where(okc, uvc[..., 1], big), axis=1)
     u0 = jnp.clip((jnp.floor(umin).astype(jnp.int32) // 128) * 128, 0, w - win_w)
-    v0 = jnp.clip((jnp.floor(vmin).astype(jnp.int32) // 8) * 8, 0, h - win_h)
+    v0 = jnp.clip((jnp.floor(vmin).astype(jnp.int32) // 16) * 16, 0, h - win_h)
     return jnp.stack([u0, v0], axis=0).astype(jnp.int32)  # [2, V]
 
 
@@ -304,26 +272,21 @@ def integrate_blocks_pallas(
         G //= 2
 
     T_cw = se3_inverse(T_wc)
-    params = jnp.asarray(
-        [
-            tsdf_cfg.trunc_dist,
-            tsdf_cfg.max_weight,
-            1.0 if tsdf_cfg.stop_integrating_at_max_weight else 0.0,
-            0.0, 0.0, 0.0, 0.0, 0.0,
-        ],
-        jnp.float32,
-    ).reshape(1, 8)
-
     blk_t, blk_w = gather_visible_blocks(m, vis)
     dtype = m.tsdf.dtype
     base_h, base_w = window if window is not None else (_WIN_H, _WIN_W)
-    win_h = min(base_h, h - h % 8 if h % 8 else h)
+    # Window origins are promised to Mosaic as aligned (pl.multiple_of:
+    # u0 to the 128-lane tile, v0 to the bf16 16-SUBLANE tile); their
+    # clip bounds w - win_w / h - win_h must therefore be multiples of
+    # the same alignment (or zero), or boundary blocks get a misaligned
+    # origin and the compiled kernel reads a garbled window — caught on
+    # 320-wide images (u bound 64) and at VGA (v0 = 8 mod 16 slices of
+    # the bf16 depth planes cost 1.5x trajectory ATE, silently).  Widen
+    # the window until the bound aligns.
+    win_h = min(base_h, h)
+    if (h - win_h) % 16 != 0:
+        win_h = h - 16 * ((h - win_h) // 16)
     win_w = min(base_w, w)
-    # u0 is promised to Mosaic as a multiple of 128 (pl.multiple_of); its
-    # clip bound w - win_w must therefore BE one, or boundary blocks get
-    # a misaligned origin and the compiled kernel reads a garbled window
-    # (caught on 320-wide images: clip bound 64).  Widen the window until
-    # the bound is 128-aligned (w = 320 -> whole-width window).
     if (w - win_w) % 128 != 0:
         win_w = w - 128 * ((w - win_w) // 128)
     uv0 = _window_origins(
@@ -346,34 +309,55 @@ def integrate_blocks_pallas(
         num_scalar_prefetch=1,
         grid=(V // G,),
         in_specs=[
-            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),
-            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),
             pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),   # code
-            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),   # pz
             pl.BlockSpec(memory_space=pltpu.VMEM),        # depth_hi
             pl.BlockSpec(memory_space=pltpu.VMEM),        # depth_lo
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # params
         ],
         out_specs=[
-            pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),
             pl.BlockSpec(blk, lambda i, uv: (i, 0, 0)),
         ],
     )
 
     kernel = functools.partial(
         _kernel, bsz=bsz, win_h=win_h, win_w=win_w,
-        i16=jnp.dtype(dtype) == jnp.int16,
     )
-    fused_t, fused_w = pl.pallas_call(
+    (d_sel,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(blk_t.shape, dtype),
-            jax.ShapeDtypeStruct(blk_w.shape, dtype),
+            jax.ShapeDtypeStruct(code.shape, jnp.float32),
         ),
-        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
-    )(uv0, blk_t, blk_w, code, pz, depth_hi, depth_lo, params)
+    )(uv0, code, depth_hi, depth_lo)
+
+    # The FUSION arithmetic runs in XLA with the very ops the reference
+    # path uses (ops/tsdf_block.integrate_blocks) — the kernel's job is
+    # ONLY the gatherless depth select.  This is what makes the Pallas
+    # and XLA integrates agree to the BIT, divisions included: Mosaic's
+    # divide is a reciprocal approximation ~1 ulp off XLA's, and 1-ulp
+    # pool differences measurably perturb the frame-to-model feedback
+    # loop over a trajectory (the discrete branches in association and
+    # surfel selection amplify them).
+    from topfusion_tpu.ops.blockmap import (
+        decode_tsdf,
+        decode_weight,
+        encode_tsdf,
+        encode_weight,
+    )
+
+    mu = tsdf_cfg.trunc_dist
+    tsdf_blk = decode_tsdf(blk_t)
+    w_blk = decode_weight(blk_w)
+    valid = code >= 0
+    eta = d_sel - pz
+    update = valid & (d_sel > 0.0) & (eta >= -mu)
+    if tsdf_cfg.stop_integrating_at_max_weight:
+        update = update & (w_blk < tsdf_cfg.max_weight)
+    new_f = jnp.maximum(jnp.minimum(1.0, eta / mu), -1.0)
+    fused = (tsdf_blk * w_blk + new_f) / (w_blk + 1.0)
+    w_new = jnp.minimum(w_blk + 1.0, tsdf_cfg.max_weight)
+    fused_t = encode_tsdf(jnp.where(update, fused, tsdf_blk), dtype)
+    fused_w = encode_weight(jnp.where(update, w_new, w_blk), dtype)
 
     # One row-scatter back; padded entries land on the sacrificial row.
     shape3 = (cap + 1, bsz, bsz * bsz)
