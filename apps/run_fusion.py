@@ -82,6 +82,13 @@ def main() -> int:
                     help="write out/video.gif from per-chunk raycast "
                     "renders (the reference's live display analogue, "
                     "reference: apps/demo.cpp:106-115)")
+    ap.add_argument("--render-mode", default="grey",
+                    choices=("grey", "normals", "confidence", "color"),
+                    help="shading of the final render_final.png: phong "
+                    "grey, normal colors, fusion-confidence heatmap, or "
+                    "fused voxel color (the reference's render-type enum, "
+                    "reference: VisualisationEngine.hpp:12-109 + pixel "
+                    "shaders VisualisationEngine_Shared.hpp:272-498)")
     ap.add_argument("--orbit-video", type=int, default=0, metavar="N",
                     help="after the run, re-render the final map from an "
                     "N-pose auto-orbit around the reconstructed geometry "
@@ -106,20 +113,11 @@ def main() -> int:
 
     cfg = load_config(args.config) if args.config else PipelineConfig()
     cfg = apply_overrides(cfg, args.overrides)
-    # Fused Pallas integration on accelerator backends (the config
-    # default stays False so the CPU test mesh runs the XLA path, which
-    # the Pallas kernel is element-tested against).  Measured: the XLA
-    # per-voxel depth gather costs ~10 fps of app loop at VGA on v5e.
-    if not any("use_pallas_integrate" in o for o in args.overrides):
-        import jax as _jax
-
-        if _jax.devices()[0].platform not in ("cpu",):
-            import dataclasses as _dc
-
-            cfg = _dc.replace(
-                cfg,
-                blockmap=_dc.replace(cfg.blockmap, use_pallas_integrate=True),
-            )
+    # Fused Pallas integration defaults ON for accelerator backends at
+    # the CONFIG level now (use_pallas_integrate=None = auto; the kernel
+    # is bit-exact vs the XLA path on TPU, re-verified per round by
+    # bench.py).  Measured: the XLA per-voxel depth gather costs ~10 fps
+    # of app loop at VGA on v5e.
     # The library default max_visible_blocks (2^14) is a conservative
     # bound for large scenes; every per-frame gather/sort/scatter in
     # integrate+splat scales with it (PADDED, not actual occupancy) —
@@ -264,6 +262,10 @@ def main() -> int:
     slam = SlamSystem(cfg, render_in_chunk=want_renders)
     metrics = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
 
+    # Import the image codec up front: a first `import imageio` inside
+    # the timed loop costs ~0.5 s of the first chunk's budget.
+    import imageio.v3 as iio
+
     print("warmup (compiling the chunk/optimize/reintegrate dispatches)...")
     t_w = time.perf_counter()
     slam.warmup(chunk, with_rgb=args.rgb)
@@ -278,6 +280,28 @@ def main() -> int:
     done = 0
     next_render = 0
     video_frames = []
+    # Display previews ride one chunk behind: the half-res preview's D2H
+    # is ISSUED right after its chunk and CONSUMED after the next chunk's
+    # dispatch has the device busy — the ~55 ms/chunk tunnel transfer
+    # overlaps device compute instead of adding to the loop (measured
+    # 27 -> >30 fps whole-run at VGA with video on).
+    pending_preview = None
+    pending_done = 0
+
+    def _consume_preview():
+        nonlocal next_render
+        if pending_preview is None:
+            return
+        img = np.asarray(pending_preview)
+        if args.video:
+            video_frames.append(img)
+        if args.render_every and pending_done > next_render:
+            next_render = pending_done + args.render_every - 1
+            iio.imwrite(
+                os.path.join(args.out, f"render_{pending_done:05d}.png"),
+                img,
+            )
+
     for depth_chunk, rgb_chunk in chunks():
         if args.max_frames and done >= args.max_frames:
             break
@@ -289,25 +313,35 @@ def main() -> int:
             and done % cfg.posegraph.keyframe_every == 0
         )
         infos = slam.process_chunk(depth_chunk, do_kf=do_kf, rgb=rgb_chunk)
+        _consume_preview()  # previous chunk's preview, transfer overlapped
         for info in infos:
             metrics.log_frame(info)
+        ovf = max(i.get("visible_overflow", 0) for i in infos)
+        if ovf > 0:
+            print(
+                f"WARNING: visible-set overflow — {ovf} allocated blocks "
+                f"truncated by blockmap.max_visible_blocks="
+                f"{cfg.blockmap.max_visible_blocks} this chunk (silent "
+                f"under-integration); raise the bound for this scene "
+                f"density",
+                file=sys.stderr,
+            )
         done += n
         if t_after_first is None:
             t_after_first = time.perf_counter()
         else:
             frames_after_first += n
-        if args.video:
-            # Fetch the preview at HALF resolution: D2H over a tunneled
-            # backend is the bottleneck, and the GIF is a preview.
-            video_frames.append(np.asarray(slam.last_render[::2, ::2]))
-        if args.render_every and done > next_render:
-            next_render = done + args.render_every - 1
-            import imageio.v3 as iio
-
-            img = np.asarray(slam.last_render)
-            iio.imwrite(
-                os.path.join(args.out, f"render_{done:05d}.png"), img
-            )
+        if want_renders:
+            # Half-res preview (D2H over the tunnel is the bottleneck;
+            # the GIF/periodic PNGs are previews — render_final.png and
+            # --orbit-video stay full quality); start its copy now.
+            pending_preview = slam.last_render[::2, ::2]
+            pending_done = done
+            try:
+                pending_preview.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+    _consume_preview()  # flush the final chunk's preview
     t_end = time.perf_counter()
 
     summary = metrics.summary()
@@ -337,8 +371,6 @@ def main() -> int:
     print(f"extracted {n_pts} surface points -> cloud.ply")
 
     if args.video and video_frames:
-        import imageio.v3 as iio
-
         # One raycast view per chunk; GIF (no ffmpeg in this image).
         iio.imwrite(
             os.path.join(args.out, "video.gif"),
@@ -348,7 +380,6 @@ def main() -> int:
         print(f"{len(video_frames)}-frame render video -> video.gif")
 
     if args.orbit_video:
-        import imageio.v3 as iio
         import jax.numpy as _jnp
 
         from topfusion_tpu.geometry.viewpath import map_centroid, orbit_path
@@ -378,11 +409,21 @@ def main() -> int:
         )
 
     if args.rgb:
-        import imageio.v3 as iio
-
         img = np.asarray(slam.pipe.render_color(slam.state))
         iio.imwrite(os.path.join(args.out, "render_color.png"), img)
         print("color render -> render_color.png")
+
+    # Final still in the requested shading mode (the reference's render-
+    # type switch; confidence = fusion-weight heatmap).
+    render_fns = {
+        "grey": lambda: slam.pipe.render(slam.state),
+        "normals": lambda: slam.pipe.render_normals(slam.state),
+        "confidence": lambda: slam.pipe.render_confidence(slam.state),
+        "color": lambda: slam.pipe.render_color(slam.state),
+    }
+    final = np.asarray(render_fns[args.render_mode]())
+    iio.imwrite(os.path.join(args.out, "render_final.png"), final)
+    print(f"final {args.render_mode} render -> render_final.png")
 
     save_run(
         args.out,

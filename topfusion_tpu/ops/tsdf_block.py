@@ -172,7 +172,8 @@ def visible_blocks(
     tsdf_cfg: TSDFConfig,
     bm_cfg: BlockMapConfig,
     T_wc: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_overflow: bool = False,
+):
     """Compact the frustum-visible subset of live blocks (FULL scan over
     the pool — O(capacity); the per-frame pipeline uses
     :func:`visible_blocks_incremental` instead and falls back here after
@@ -180,7 +181,11 @@ def visible_blocks(
 
     Replaces the 8-corner test + warp prefix-sum compaction
     (reference: buildVisibleList_device _host.cu:434-479).  Returns
-    (slots [V_max], coords [V_max, 3], mask [V_max]).
+    (slots [V_max], coords [V_max, 3], mask [V_max]); with
+    ``return_overflow`` additionally the count of frustum-visible LIVE
+    blocks truncated by the ``max_visible_blocks`` bound — the silent
+    under-integration signal on over-dense scenes (a truncated block is
+    allocated but skipped by integrate/splat this frame).
     """
     v_max = bm_cfg.max_visible_blocks
     live = jnp.arange(m.capacity) < m.num_blocks
@@ -196,6 +201,9 @@ def visible_blocks(
     )
     mask = slots >= 0
     coords = m.block_coords[jnp.where(mask, slots, 0)]
+    if return_overflow:
+        overflow = jnp.maximum(jnp.sum(vis.astype(jnp.int32)) - v_max, 0)
+        return slots, coords, mask, overflow
     return slots, coords, mask
 
 
@@ -207,7 +215,8 @@ def visible_blocks_incremental(
     T_wc: jnp.ndarray,
     prev_slots: jnp.ndarray,     # [V_max] int32, -1 = empty
     touched_slots: jnp.ndarray,  # [t_max] int32, -1 = empty
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_overflow: bool = False,
+):
     """Visible set by AGING: frustum-check only last frame's visible
     blocks plus this frame's allocation-touched blocks, instead of
     projecting every pool slot.
@@ -242,6 +251,9 @@ def visible_blocks_incremental(
     )
     mask = slots >= 0
     coords = m.block_coords[jnp.where(mask, slots, 0)]
+    if return_overflow:
+        overflow = jnp.maximum(jnp.sum(vis.astype(jnp.int32)) - v_max, 0)
+        return slots, coords, mask, overflow
     return slots, coords, mask
 
 

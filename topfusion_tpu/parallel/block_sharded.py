@@ -234,6 +234,19 @@ class ShardedBlockPipeline:
         return _make()
 
     # ------------------------------------------------------------------
+    def _step(self, state, depth_mm, rgb=None):
+        """Per-device step under an ENCLOSING shard_map — the duck-type
+        BlockPipeline._step surface the shared SLAM chunk body
+        (models/slam.SlamSystem._chunk_impl) scans over; the sharded
+        flagship (parallel/sharded_slam.py) wraps that whole chunk in one
+        shard_map.  Color fusion is not sharded yet."""
+        if rgb is not None:
+            raise NotImplementedError(
+                "sharded pipeline does not fuse color yet"
+            )
+        return self._step_local(state, depth_mm)
+
+    # ------------------------------------------------------------------
     def _local_map(self, state: BlockState) -> BlockMap:
         return BlockMap(
             bucket_keys=state.bucket_keys,
@@ -303,20 +316,27 @@ class ShardedBlockPipeline:
             # path (models/block_pipeline.py).
             prev = jnp.where(do_reset, -1, state.vis_slots)
             n_rescan = max(cfg.blockmap.visible_rescan_every, 1)
-            vis = lax.cond(
+            *vis, vis_overflow = lax.cond(
                 (state.frame % n_rescan == 0) | do_reset,
                 lambda: visible_blocks(
-                    m, cam, cfg.tsdf, cfg.blockmap, T_int
+                    m, cam, cfg.tsdf, cfg.blockmap, T_int,
+                    return_overflow=True,
                 ),
                 lambda: visible_blocks_incremental(
                     m, cam, cfg.tsdf, cfg.blockmap, T_int,
-                    prev, ainfo.touched_slots,
+                    prev, ainfo.touched_slots, return_overflow=True,
                 ),
             )
+            vis = tuple(vis)
         else:
-            vis = visible_blocks(m, cam, cfg.tsdf, cfg.blockmap, T_int)
+            *vis, vis_overflow = visible_blocks(
+                m, cam, cfg.tsdf, cfg.blockmap, T_int, return_overflow=True
+            )
+            vis = tuple(vis)
         fused_blocks = None
-        if cfg.blockmap.use_pallas_integrate:
+        from topfusion_tpu.config import resolve_pallas_integrate
+
+        if resolve_pallas_integrate(cfg.blockmap):
             # The fused Pallas kernel operates on the SHARD-LOCAL visible
             # slab — integration never crosses shards, so the flagship
             # scale-out path runs the same speed-of-light kernel as the
@@ -379,6 +399,7 @@ class ShardedBlockPipeline:
             num_visible=lax.psum(n_vis, axis),
             blocks_dropped=lax.psum(ainfo.n_dropped_capacity, axis),
             integrate_skipped=lax.psum(n_skipped, axis),
+            visible_overflow=lax.psum(vis_overflow, axis),
         )
         return new_state, aux
 

@@ -15,6 +15,7 @@ multi-chip mesh).  Multi-host execution is validated in CI via
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -41,8 +42,56 @@ def initialize_multihost(
         )
 
 
+def save_sharded_checkpoint(path: str, state, frame_idx: int,
+                            poses) -> None:
+    """Per-process checkpoint of a SHARDED pytree: each process writes
+    the shards it addresses (keyed by device id) plus replicated scalars,
+    atomically (tmp + rename).  The reference's only failure model is
+    ``exit(0)`` (reference: tfusion/src/device_memory.cpp:7-11); this is
+    the multi-host elastic-recovery primitive the rebuild promised
+    (SURVEY.md section 5.3-5.4)."""
+    leaves, _ = jax.tree.flatten(state)
+    out = {
+        "__frame__": np.asarray(frame_idx),
+        "__poses__": np.stack(poses) if poses else np.zeros((0, 4, 4)),
+    }
+    for i, lf in enumerate(leaves):
+        for sh in lf.addressable_shards:
+            out[f"leaf{i}_dev{sh.device.id}"] = np.asarray(sh.data)
+    tmp = f"{path}.tmp{jax.process_index()}.npz"  # np.savez appends .npz
+    np.savez(tmp, **out)
+    os.replace(tmp, path)
+
+
+def restore_sharded_checkpoint(path: str, like):
+    """Restore this process's shards from ``path`` into a pytree shaped
+    and SHARDED like ``like`` (each process loads only the shards it
+    addresses; ``jax.make_array_from_single_device_arrays`` reassembles
+    the global arrays).  Returns (state, frame_idx, poses list)."""
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten(like)
+    out = []
+    for i, lf in enumerate(leaves):
+        shards = []
+        for sh in lf.addressable_shards:
+            arr = data[f"leaf{i}_dev{sh.device.id}"]
+            shards.append(jax.device_put(arr, sh.device))
+        out.append(
+            jax.make_array_from_single_device_arrays(
+                lf.shape, lf.sharding, shards
+            )
+        )
+    state = jax.tree.unflatten(treedef, out)
+    poses = [p for p in data["__poses__"]]
+    return state, int(data["__frame__"]), poses
+
+
 def run_block_pipeline_demo(
-    n_devices: Optional[int] = None, n_frames: int = 4
+    n_devices: Optional[int] = None,
+    n_frames: int = 4,
+    ckpt_path: Optional[str] = None,
+    ckpt_every: int = 0,
+    on_frame=None,
 ) -> dict:
     """Run the SHARDED BLOCK pipeline on a fixed tiny synthetic
     trajectory over an ``n_devices`` global mesh and return its results.
@@ -102,14 +151,30 @@ def run_block_pipeline_demo(
     pipe = ShardedBlockPipeline(cfg, mesh)
     state = pipe.init()
     poses = []
-    for f in frames:
-        state, aux = pipe.step(state, f)
+    start = 0
+    my_ckpt = (
+        f"{ckpt_path}.proc{jax.process_index()}.npz" if ckpt_path else None
+    )
+    if my_ckpt is not None and os.path.exists(my_ckpt):
+        # Elastic restart: resume from the last periodic checkpoint (the
+        # whole cluster re-forms — jax.distributed coordination restarts
+        # with the processes — and every process restores its own
+        # shards; SURVEY.md section 5.3 rebuild line).
+        state, start, poses = restore_sharded_checkpoint(my_ckpt, state)
+    aux = None
+    for k in range(start, len(frames)):
+        state, aux = pipe.step(state, frames[k])
         assert bool(np.asarray(aux.ok)), "sharded demo lost tracking"
         poses.append(np.asarray(state.T_wc))
+        if my_ckpt is not None and ckpt_every and (k + 1) % ckpt_every == 0:
+            save_sharded_checkpoint(my_ckpt, state, k + 1, poses)
+        if on_frame is not None:
+            on_frame(k, state)
     return {
         "poses": np.stack(poses),
         "num_blocks": int(np.asarray(aux.num_blocks)),
         "num_visible": int(np.asarray(aux.num_visible)),
+        "resumed_at": start,
     }
 
 

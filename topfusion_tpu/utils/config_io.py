@@ -87,6 +87,14 @@ def apply_overrides(cfg: PipelineConfig, overrides) -> PipelineConfig:
 
 
 def _parse_value(raw: str, old: Any) -> Any:
+    if old is None:
+        # Tri-state fields (e.g. use_pallas_integrate: None = auto).
+        low = raw.lower()
+        if low in ("none", "null", "auto"):
+            return None
+        if low in ("1", "true", "yes", "on", "0", "false", "no", "off"):
+            return low in ("1", "true", "yes", "on")
+        return raw
     if isinstance(old, (tuple, list)):
         return tuple(
             _parse_value(x, old[0] if len(old) else 0) for x in raw.split(",")
