@@ -136,6 +136,21 @@ def main() -> int:
         cfg = _dc.replace(
             cfg, blockmap=_dc.replace(cfg.blockmap, pool_dtype="int16")
         )
+    # VGA operating point (config.RaycastConfig/BlockMapConfig notes):
+    # 96 surfels/block + observed-depth occlusion culling.
+    if not any("surfels_per_block" in o for o in args.overrides):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, raycast=_dc.replace(cfg.raycast, surfels_per_block=96)
+        )
+    if not any("visible_occlusion_cull" in o for o in args.overrides):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg,
+            blockmap=_dc.replace(cfg.blockmap, visible_occlusion_cull=True),
+        )
     if args.rgb:
         import dataclasses as _dc
 
@@ -288,6 +303,20 @@ def main() -> int:
     pending_preview = None
     pending_done = 0
 
+    # In-run keyboard control on a TTY (the reference demo's Space=pause
+    # / Esc=quit loop, reference: apps/demo.cpp:106-129; line-buffered
+    # here: press the key then Enter).  'p' pauses until Enter, 'q'
+    # stops the run cleanly (all outputs still written).
+    def _poll_key():
+        import select
+
+        if not sys.stdin.isatty():
+            return None
+        r, _, _ = select.select([sys.stdin], [], [], 0)
+        if not r:
+            return None
+        return (sys.stdin.readline().strip()[:1] or " ").lower()
+
     def _consume_preview():
         nonlocal next_render
         if pending_preview is None:
@@ -304,6 +333,13 @@ def main() -> int:
 
     for depth_chunk, rgb_chunk in chunks():
         if args.max_frames and done >= args.max_frames:
+            break
+        key = _poll_key()
+        if key in ("p", " "):
+            print("paused at frame", done, "- press Enter to resume")
+            sys.stdin.readline()
+        elif key == "q":
+            print(f"stopped by user at frame {done}")
             break
         n = depth_chunk.shape[0]
         # Keyframe cadence: the chunk generator is aligned so full chunks

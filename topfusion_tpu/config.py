@@ -207,6 +207,21 @@ class BlockMapConfig:
     # shape (setToType3, SceneReconstructionEngine_host.cu:343-348).
     # Free-view renders and post-reset refreshes always full-rescan.
     visible_aging: bool = True
+    # Occlusion-cull the per-frame visible set against the OBSERVED
+    # depth (ops/tsdf_block._block_occlusion_mask): blocks entirely
+    # beyond every valid depth sample in their footprint receive zero
+    # voxel updates by the fusion rule (eta < -mu skips) and are
+    # occluded for splatting, so the working set shrinks from "frustum
+    # band" to "observable band" — and the PADDED max_visible_blocks
+    # bound (which every integrate/splat gather/sort/scatter scales
+    # with) can drop accordingly.  Exact for integration by
+    # construction; conservative for model maps (max-pool + 3x3 tile
+    # dilation bounds the footprint).  Default OFF: the reference keeps
+    # occluded aged entries in its visible list, and at tiny test frame
+    # sizes the model-map change measurably perturbs thrash-adjacent
+    # loop-closure scenarios; the VGA product surfaces (bench.py,
+    # apps/run_fusion.py) turn it on.
+    visible_occlusion_cull: bool = False
     # The aged set structurally misses blocks that RE-ENTER the frustum
     # without being depth-touched (occluded band, truncated range,
     # alloc-stride gaps) — measured collapse on a backward dolly through
@@ -266,12 +281,17 @@ class RaycastConfig:
     # VGA) and 3x3 min-dilation passes closing sub-pixel splat holes
     # (ops/splat.py).  Dilation is load-bearing: without it the hole
     # pixels starve ICP of correspondences (measured 200 mm ATE).
-    # Round-5 v5e A/B: 96 beats 128 at 42.2 vs 39.4 bench fps (splat is
-    # the step's top line item; scatter/attr volume scales with K) with
-    # NO accuracy cost (40-frame VGA orbit ATE 12.0 vs 12.7 mm) — the
-    # dilation pass absorbs the extra sub-pixel holes.  64 measured
-    # SLOWER than 96 (39.6) — sub-128-lane shapes waste the VPU.
-    surfels_per_block: int = 96
+    # Round-5 v5e A/B at the VGA operating point: 96 beats 128 at 42.2
+    # vs 39.4 bench fps (splat is the step's top line item; scatter/attr
+    # volume scales with K) with NO accuracy cost there (40-frame VGA
+    # orbit ATE 12.0 vs 12.7 mm) — the dilation pass absorbs the extra
+    # sub-pixel holes; 64 is SLOWER than 96 (sub-128-lane shapes).
+    # bench.py and apps/run_fusion.py run 96.  The LIBRARY default stays
+    # 128: at tiny frame sizes (80x64 test cameras) the sparser maps
+    # measurably amplify feedback noise (sharded-vs-single agreement
+    # 0.10 -> 1.55 mm; the deliberately thrash-adjacent double-closure
+    # test tips over) — choose per operating point.
+    surfels_per_block: int = 128
     dilate_passes: int = 1
 
 
@@ -454,7 +474,8 @@ def reference_exact_config(cfg: PipelineConfig) -> PipelineConfig:
             cfg.raycast, model_maps="raycast", guided=False
         ),
         blockmap=dataclasses.replace(
-            cfg.blockmap, use_pallas_integrate=False
+            cfg.blockmap, use_pallas_integrate=False,
+            visible_occlusion_cull=False,
         ),
     )
 

@@ -198,21 +198,25 @@ class BlockPipeline:
             # blocks that re-entered the frustum unobserved.
             prev = jnp.where(do_reset, -1, state.vis_slots)
             n_rescan = max(cfg.blockmap.visible_rescan_every, 1)
+            d_cull = raw_eff if cfg.blockmap.visible_occlusion_cull else None
             *vis, vis_overflow = lax.cond(
                 (state.frame % n_rescan == 0) | do_reset,
                 lambda: visible_blocks(
                     m, cam, cfg.tsdf, cfg.blockmap, T_int,
-                    return_overflow=True,
+                    return_overflow=True, depth=d_cull,
                 ),
                 lambda: visible_blocks_incremental(
                     m, cam, cfg.tsdf, cfg.blockmap, T_int,
                     prev, ainfo.touched_slots, return_overflow=True,
+                    depth=d_cull,
                 ),
             )
             vis = tuple(vis)
         else:
+            d_cull = raw_eff if cfg.blockmap.visible_occlusion_cull else None
             *vis, vis_overflow = visible_blocks(
-                m, cam, cfg.tsdf, cfg.blockmap, T_int, return_overflow=True
+                m, cam, cfg.tsdf, cfg.blockmap, T_int, return_overflow=True,
+                depth=d_cull,
             )
             vis = tuple(vis)
         fused_blocks = None

@@ -458,6 +458,16 @@ class SlamSystem:
         # chunk.
         jax.device_get((out[5], out[6], out[7], out[8], out[10]))
         jax.device_get((mv, corr, img.reshape(-1)[:1]))  # fence; discarded
+        # Run the chunk program LAST so it is the hot executable when the
+        # timed loop starts (the optimize/reint/render warmups above can
+        # evict it from the remote program cache — measured ~1 s of
+        # first-chunk lag).
+        out = self._chunk(
+            self.state, self.graph, self.kf_depth_buf, self.kf_odom_buf,
+            ring, depths, rgb,
+            jnp.asarray(0, jnp.int32), jnp.asarray(True),
+        )
+        jax.device_get((out[5], out[6], out[7], out[8], out[10]))
 
     # ------------------------------------------------------------------
     def _ring(self):

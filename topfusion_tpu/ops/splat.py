@@ -176,13 +176,16 @@ def splat_model_maps(
     sel = jnp.where(sel_valid, topk, 0)
 
     # Selected-voxel attributes: tsdf, gradient dir, weight via ONE rowwise
-    # take_along_axis of a channel-packed array.
+    # take_along_axis of a channel-packed array, PADDED to 8 aligned
+    # channels (5-wide rows are the measured pathological gather width;
+    # docs/PERFORMANCE.md microbenchmarks — +0.5 fps end-to-end).
     attr = jnp.concatenate(
         [tsdf_blk.reshape(V, nvox, 1), g.reshape(V, nvox, 3),
-         w_blk.reshape(V, nvox, 1)],
+         w_blk.reshape(V, nvox, 1),
+         jnp.zeros((V, nvox, 3), tsdf_blk.dtype)],
         axis=-1,
-    )                                                      # [V, 512, 5]
-    picked = jnp.take_along_axis(attr, sel[..., None], axis=1)  # [V, K, 5]
+    )                                                      # [V, 512, 8]
+    picked = jnp.take_along_axis(attr, sel[..., None], axis=1)  # [V, K, 8]
     t_sel = picked[..., 0]
     g_sel = picked[..., 1:4]
     w_sel = picked[..., 4]

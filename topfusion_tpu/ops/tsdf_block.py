@@ -166,6 +166,67 @@ def _block_frustum_mask(
     )
 
 
+def _block_occlusion_mask(
+    coords: jnp.ndarray,
+    cam: CameraConfig,
+    tsdf_cfg: TSDFConfig,
+    bm_cfg: BlockMapConfig,
+    T_wc: jnp.ndarray,
+    depth: jnp.ndarray,
+) -> jnp.ndarray:
+    """True = the block is potentially OBSERVABLE from this frame: some
+    voxel can satisfy the fusion-rule gate ``eta >= -mu`` against the
+    observed depth.  A block whose whole extent lies beyond every valid
+    depth sample in its image footprint receives ZERO voxel updates by
+    construction of the fusion rule (``eta < -mu`` skips, reference:
+    computeUpdatedVoxelDepthInfo SceneReconstructionEngine.hpp:23-71) and
+    is occluded for model-map splatting — culling it from the per-frame
+    visible set is integrate-exact and splat-conservative.
+
+    The footprint depth bound is a 16x16 MAX-pool of the depth image
+    (invalid = 0 excluded) dilated by a 3x3 tile neighborhood — an upper
+    bound of any pixel depth a block's voxels can project onto for
+    footprints up to ~48 px (a 4 cm block at >= 0.5 m covers < 48 px at
+    VGA focal lengths).  This is the expected-depth-range idea
+    (reference: CreateExpectedDepths VisualisationEngine_CUDA.cu:119-173)
+    applied to visible-set maintenance: the working set shrinks from
+    "frustum band" to "observable band", which is what lets the padded
+    max_visible_blocks bound drop (every integrate/splat gather/sort/
+    scatter scales with the PADDED bound; docs/PERFORMANCE.md round 5).
+    """
+    t = 16
+    h, w = depth.shape
+    block_metric = bm_cfg.block_size * tsdf_cfg.voxel_size
+    radius = 0.5 * jnp.sqrt(3.0) * block_metric
+    centers_w = (coords.astype(jnp.float32) + 0.5) * block_metric
+    T_cw = se3_inverse(T_wc)
+    centers_cam = transform_points(T_cw, centers_w)
+    uv, z = project(cam, centers_cam)
+
+    ht, wt = -(-h // t), -(-w // t)
+    d_full = jnp.pad(depth, ((0, ht * t - h), (0, wt * t - w)))
+    d_tile = jnp.max(d_full.reshape(ht, t, wt, t), axis=(1, 3))
+    # 3x3 tile-neighborhood max (footprint slack), zero-padded: invalid
+    # stays 0 and an all-invalid footprint culls (no voxel can update).
+    d_pad = jnp.pad(d_tile, 1)
+    d_max = d_tile
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            d_max = jnp.maximum(
+                d_max, d_pad[1 + dy : 1 + dy + ht, 1 + dx : 1 + dx + wt]
+            )
+
+    zs = jnp.maximum(z, tsdf_cfg.view_frustum_min * 0.5)
+    ut = jnp.clip(
+        (uv[..., 0] / t).astype(jnp.int32), 0, wt - 1
+    )
+    vt = jnp.clip(
+        (uv[..., 1] / t).astype(jnp.int32), 0, ht - 1
+    )
+    d_near = d_max[vt, ut]
+    return z - radius <= d_near + tsdf_cfg.trunc_dist
+
+
 def visible_blocks(
     m: BlockMap,
     cam: CameraConfig,
@@ -173,6 +234,7 @@ def visible_blocks(
     bm_cfg: BlockMapConfig,
     T_wc: jnp.ndarray,
     return_overflow: bool = False,
+    depth: jnp.ndarray | None = None,
 ):
     """Compact the frustum-visible subset of live blocks (FULL scan over
     the pool — O(capacity); the per-frame pipeline uses
@@ -192,6 +254,10 @@ def visible_blocks(
     vis = live & _block_frustum_mask(
         m.block_coords, cam, tsdf_cfg, bm_cfg, T_wc
     )
+    if depth is not None:
+        vis = vis & _block_occlusion_mask(
+            m.block_coords, cam, tsdf_cfg, bm_cfg, T_wc, depth
+        )
 
     rank = jnp.cumsum(vis.astype(jnp.int32)) - 1
     keep = vis & (rank < v_max)
@@ -216,6 +282,7 @@ def visible_blocks_incremental(
     prev_slots: jnp.ndarray,     # [V_max] int32, -1 = empty
     touched_slots: jnp.ndarray,  # [t_max] int32, -1 = empty
     return_overflow: bool = False,
+    depth: jnp.ndarray | None = None,
 ):
     """Visible set by AGING: frustum-check only last frame's visible
     blocks plus this frame's allocation-touched blocks, instead of
@@ -242,6 +309,10 @@ def visible_blocks_incremental(
     uniq = first & (s != imax) & (s < m.num_blocks)
     coords_u = m.block_coords[jnp.where(uniq, s, 0)]
     vis = uniq & _block_frustum_mask(coords_u, cam, tsdf_cfg, bm_cfg, T_wc)
+    if depth is not None:
+        vis = vis & _block_occlusion_mask(
+            coords_u, cam, tsdf_cfg, bm_cfg, T_wc, depth
+        )
 
     rank = jnp.cumsum(vis.astype(jnp.int32)) - 1
     keep = vis & (rank < v_max)
