@@ -224,3 +224,49 @@ def test_composed_beyond_capacity_with_loop_at_parity():
     assert ate_swap <= 1.2 * ate_ref + 2e-4, (
         f"swap ATE {ate_swap*1000:.2f} mm vs uncapped {ate_ref*1000:.2f} mm"
     )
+
+
+def test_composed_checkpoint_resume_bit_exact(tmp_path):
+    """Periodic checkpoint of the composed system (per-process map
+    shards + replicated graph/buffers + host bookkeeping): a restored
+    fresh system continues BIT-EXACTLY like the uninterrupted one —
+    elastic recovery for the flagship (SURVEY.md 5.3-5.4)."""
+    import dataclasses as _dc
+
+    cfg = make_cfg()
+    cfg = _dc.replace(
+        cfg,
+        posegraph=_dc.replace(cfg.posegraph, reint_ring=8),
+    )
+    scene = SyntheticScene()
+    gt = out_and_back(12)
+    frames = [
+        scene.render_depth_mm(cfg.camera, jnp.asarray(T, jnp.float32))
+        for T in gt
+    ]
+    mesh = make_mesh(N_DEV)
+    ckpt = str(tmp_path / "composed")
+
+    ref = ShardedSlamSystem(cfg, mesh)
+    for d in frames[:6]:
+        assert ref.process_frame(d)["ok"]
+    ref.save_checkpoint(ckpt)
+    for d in frames[6:]:
+        assert ref.process_frame(d)["ok"]
+
+    res = ShardedSlamSystem(cfg, mesh)
+    res.restore_checkpoint(ckpt)
+    assert res.frame_idx == 6
+    for d in frames[6:]:
+        assert res.process_frame(d)["ok"]
+
+    np.testing.assert_array_equal(
+        np.stack(res.odom_poses), np.stack(ref.odom_poses)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.graph.kf_poses), np.asarray(ref.graph.kf_poses)
+    )
+    assert res.loops_closed == ref.loops_closed
+    assert int(np.asarray(res.state.num_blocks).sum()) == int(
+        np.asarray(ref.state.num_blocks).sum()
+    )

@@ -205,6 +205,74 @@ class ShardedSlamSystem(SlamSystem):
     def _swap_after(self) -> None:
         self.state = self.swap.after_step(self.state)
 
+    # -------------------------------------------------------- checkpoint
+    def save_checkpoint(self, path: str) -> None:
+        """Periodic checkpoint of the COMPOSED system: each process
+        writes the map shards it addresses (multihost.
+        save_sharded_checkpoint); process 0 writes the replicated device
+        state (pose graph, keyframe depth/odometry buffers, reint ring)
+        and the host bookkeeping.  A restarted cluster calls
+        :meth:`restore_checkpoint` on a freshly-constructed system —
+        the elastic-recovery story for the flagship (SURVEY.md
+        section 5.3-5.4 rebuild lines; paths must be on a filesystem
+        all processes share)."""
+        import json
+
+        from topfusion_tpu.parallel.multihost import save_sharded_checkpoint
+        from topfusion_tpu.utils.checkpoint import save_state
+
+        save_sharded_checkpoint(
+            f"{path}.map.proc{jax.process_index()}.npz",
+            self.state, self.frame_idx, self.odom_poses,
+        )
+        if jax.process_index() == 0:
+            rep = (self.graph, self.kf_depth_buf, self.kf_odom_buf,
+                   self._ring() or ())
+            save_state(f"{path}.rep.npz", rep)
+            host = {
+                "kf_for_frame": self.kf_for_frame,
+                "kf_odom_poses": [p.tolist() for p in self.kf_odom_poses],
+                "loops_closed": self.loops_closed,
+                "reintegrations": self.reintegrations,
+            }
+            tmp = f"{path}.host.json.tmp"
+            with open(tmp, "w") as f:
+                json.dump(host, f)
+            import os
+
+            os.replace(tmp, f"{path}.host.json")
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Restore a :meth:`save_checkpoint` into this (freshly built,
+        same-config, same-mesh) system; every process loads only the map
+        shards it addresses."""
+        import json
+
+        from topfusion_tpu.parallel.multihost import (
+            restore_sharded_checkpoint,
+        )
+        from topfusion_tpu.utils.checkpoint import load_state
+
+        self.state, self.frame_idx, self.odom_poses = (
+            restore_sharded_checkpoint(
+                f"{path}.map.proc{jax.process_index()}.npz", self.state
+            )
+        )
+        rep = (self.graph, self.kf_depth_buf, self.kf_odom_buf,
+               self._ring() or ())
+        rep = load_state(f"{path}.rep.npz", rep)
+        self.graph, self.kf_depth_buf, self.kf_odom_buf = rep[:3]
+        if self.R > 0:
+            self.ring_depths, self.ring_poses, self.ring_kf = rep[3]
+        with open(f"{path}.host.json") as f:
+            host = json.load(f)
+        self.kf_for_frame = list(host["kf_for_frame"])
+        self.kf_odom_poses = [
+            np.asarray(p, np.float32) for p in host["kf_odom_poses"]
+        ]
+        self.loops_closed = int(host["loops_closed"])
+        self.reintegrations = int(host["reintegrations"])
+
 
 # ----------------------------------------------------------------------
 def dryrun_sharded_slam(n_devices: int) -> None:
