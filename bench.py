@@ -38,9 +38,14 @@ def make_cfg(pool_dtype: str = "int16"):
         RaycastConfig,
         TSDFConfig,
     )
-    # VGA operating point: 96 surfels/block (+2.7 fps at unchanged ATE;
-    # config.RaycastConfig notes) + observed-depth occlusion culling of
-    # the visible set.
+    # VGA operating point: 80 surfels/block + observed-depth occlusion
+    # culling of the visible set.  K ladder on the deterministic
+    # 40-frame VGA orbit (fps / ATE): 128: 39.4/12.7, 96: 42.3/12.1,
+    # 80: 44.1/12.9, 72: 44.8/14.2, 64: 39.9 (layout cliff).  K=80 is
+    # the knee — ATE parity with the K=128 round-4 ship (12.9 vs 12.7)
+    # at +12% fps.  The SLAM app keeps K=96: on its loop-closure
+    # trajectory K=80 costs 7.6 -> 11.2 mm odometry ATE (quality first
+    # on the product surface; apps/run_fusion.py).
 
     # Flagship: BASELINE.md config 2 — VGA sensor, voxel-hashed 5 mm TSDF
     # (2^16 x 8^3 blocks = the reference's full map capacity,
@@ -65,7 +70,7 @@ def make_cfg(pool_dtype: str = "int16"):
             use_pallas_integrate=True,
             visible_occlusion_cull=True,
         ),
-        raycast=RaycastConfig(max_steps=192, surfels_per_block=96),
+        raycast=RaycastConfig(max_steps=192, surfels_per_block=80),
     )
 
 
