@@ -51,19 +51,29 @@ _MIN_DEPTH_BITS = 6    # floor; at 6 bits z-fighting ties resolve by id
 
 
 def _min_dilate(img: jnp.ndarray, fill: int) -> jnp.ndarray:
-    """3x3 min-stencil that only fills `fill` (hole) pixels."""
+    """3x3 min-stencil that only fills `fill` (hole) pixels.
+
+    SEPARABLE form: row-min then column-min of the 3-window (4 shifted
+    minimums instead of 8).  Exactly equivalent to the 8-neighbor
+    variant on the pixels it writes: holes carry the `fill` sentinel
+    (the dtype max of the packed keys), so including the center in the
+    full 3x3 window changes nothing for them, and non-hole pixels keep
+    their original value via the final select."""
     h, w = img.shape
-    out = img
-    big = jnp.asarray(fill, img.dtype)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            pad = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))]
-            nb = jnp.pad(img, pad, constant_values=fill)[
-                max(dy, 0) : max(dy, 0) + h, max(dx, 0) : max(dx, 0) + w
-            ]
-            out = jnp.minimum(out, nb)
+
+    def axis_min3(a, axis):
+        n = a.shape[axis]
+        lo = jnp.concatenate(
+            [lax.slice_in_dim(a, 0, 1, axis=axis),
+             lax.slice_in_dim(a, 0, n - 1, axis=axis)], axis=axis,
+        )
+        hi = jnp.concatenate(
+            [lax.slice_in_dim(a, 1, n, axis=axis),
+             lax.slice_in_dim(a, n - 1, n, axis=axis)], axis=axis,
+        )
+        return jnp.minimum(a, jnp.minimum(lo, hi))
+
+    out = axis_min3(axis_min3(img, 1), 0)
     return jnp.where(img != fill, img, out)
 
 
