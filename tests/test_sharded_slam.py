@@ -270,3 +270,39 @@ def test_composed_checkpoint_resume_bit_exact(tmp_path):
     assert int(np.asarray(res.state.num_blocks).sum()) == int(
         np.asarray(ref.state.num_blocks).sum()
     )
+
+
+def test_chunk_executable_stable_across_signatures():
+    """The chunk program must not RETRACE between warmup and the steady
+    state, or after a loop-closure optimize/reintegrate: sharded chunk
+    outputs carry committed mesh shardings that host-created warmup
+    inputs do not, and before warmup replayed the steady-state + post-
+    loop signatures the second real chunk recompiled (~40 s remote on
+    the v5e — measured 2 fps composed runs).  Pin: the jit cache stops
+    growing after warmup."""
+    import dataclasses as _dc
+
+    cfg = make_cfg()
+    cfg = _dc.replace(
+        cfg,
+        posegraph=_dc.replace(cfg.posegraph, reint_ring=8,
+                              min_map_correction=0.0),
+    )
+    scene = SyntheticScene()
+    gt = out_and_back(15)
+    frames = [
+        scene.render_depth_mm(cfg.camera, jnp.asarray(T, jnp.float32))
+        for T in gt
+    ]
+    slam = ShardedSlamSystem(cfg, make_mesh(N_DEV))
+    slam.warmup(3)
+    n_compiled = slam._chunk._cache_size()
+    # Chunked run incl. a loop closure + reintegration (out-and-back,
+    # every correction rebuilds) — every signature the loop can produce.
+    for s in range(0, 15, 3):
+        slam.process_chunk(jnp.stack(frames[s : s + 3]), do_kf=True)
+    assert slam.loops_closed >= 1
+    assert slam._chunk._cache_size() == n_compiled, (
+        f"chunk retraced: {slam._chunk._cache_size()} vs {n_compiled} "
+        f"compiled signatures after warmup"
+    )

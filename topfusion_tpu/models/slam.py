@@ -442,10 +442,25 @@ class SlamSystem:
             ring, depths, rgb,
             jnp.asarray(0, jnp.int32), jnp.asarray(True),
         )
+        # STEADY-STATE signature: chunk outputs feed the next chunk.  On
+        # a sharded system the outputs carry COMMITTED mesh shardings
+        # that host-created arrays do not — without this call the second
+        # real chunk recompiles (~40 s remote; measured 2 fps composed
+        # runs on the v5e before this warm).
+        out = self._chunk(
+            out[0], out[1], out[2], out[3], out[4], depths, rgb,
+            jnp.asarray(0, jnp.int32), jnp.asarray(True),
+        )
         g, _, mv = self._optimize_ex(out[1], jnp.eye(4, dtype=jnp.float32))
-        _, corr = self._reint(
+        st_r, corr = self._reint(
             out[0], g, out[2], jnp.eye(4, dtype=jnp.float32),
             out[3], out[4], jnp.asarray(chunk_size, jnp.int32),
+        )
+        # POST-LOOP signature: the chunk after a closure sees the
+        # reintegrated state + the optimized graph.
+        out = self._chunk(
+            st_r, g, out[2], out[3], out[4], depths, rgb,
+            jnp.asarray(0, jnp.int32), jnp.asarray(True),
         )
         if self.render_in_chunk:
             img = out[9]
@@ -458,16 +473,6 @@ class SlamSystem:
         # chunk.
         jax.device_get((out[5], out[6], out[7], out[8], out[10]))
         jax.device_get((mv, corr, img.reshape(-1)[:1]))  # fence; discarded
-        # Run the chunk program LAST so it is the hot executable when the
-        # timed loop starts (the optimize/reint/render warmups above can
-        # evict it from the remote program cache — measured ~1 s of
-        # first-chunk lag).
-        out = self._chunk(
-            self.state, self.graph, self.kf_depth_buf, self.kf_odom_buf,
-            ring, depths, rgb,
-            jnp.asarray(0, jnp.int32), jnp.asarray(True),
-        )
-        jax.device_get((out[5], out[6], out[7], out[8], out[10]))
 
     # ------------------------------------------------------------------
     def _ring(self):
